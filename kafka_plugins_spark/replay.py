@@ -1,0 +1,69 @@
+"""Batch replay: change-event log → converged transcripts table.
+
+The minimum end-to-end slice (SURVEY.md §7 step 3), the analogue of the
+reference's batch-source replay tests
+(``AbstractKafkaBatchSourceTest.java:142-229``): read an offset range,
+resolve, merge, persist the cursor — except here the cursor commit is
+atomic with the data (exactly-once), and resolution happens in the engine
+instead of downstream.
+
+Chunked mode splits the offset space into aligned per-partition ranges and
+commits one snapshot per chunk — this is what makes replay *resumable*:
+re-running from the start is a sequence of fence-skipped no-ops until the
+first uncommitted chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from kafka_plugins_spark.lake import CommitResult, ParquetSnapshotTable
+from kafka_plugins_spark.operators.resolve import last_writer_wins
+from kafka_plugins_spark.sources.events import partition_end_offsets, scan_events
+
+
+def replay(
+    spark: SparkSession,
+    events_path: str,
+    table_path: str,
+    chunk_size: int | None = None,
+    salt_buckets: int | None = 8,
+    merge_schema: bool = False,
+    max_chunks: int | None = None,
+) -> tuple[ParquetSnapshotTable, list[CommitResult]]:
+    """Replay the event log into the lake table.
+
+    ``chunk_size=None`` → single commit. Otherwise chunk ``i`` covers
+    offsets ``[i*chunk_size, (i+1)*chunk_size)`` in every partition.
+    ``max_chunks`` stops early (the resume tests run the first half, then
+    call replay again to finish — the fence skips committed chunks).
+    """
+    table = ParquetSnapshotTable(spark, table_path)
+    events = scan_events(spark, events_path, merge_schema=merge_schema)
+    results: list[CommitResult] = []
+
+    if chunk_size is None:
+        winners = last_writer_wins(events, salt_buckets=salt_buckets)
+        ends = partition_end_offsets(events)
+        ranges = {p: (0, e) for p, e in ends.items()}
+        results.append(table.merge_into(winners, batch_id=0, ranges=ranges))
+        return table, results
+
+    ends = partition_end_offsets(events)
+    if not ends:
+        return table, results
+    max_end = max(ends.values())
+    n_chunks = (max_end + chunk_size - 1) // chunk_size
+    if max_chunks is not None:
+        n_chunks = min(n_chunks, max_chunks)
+    for i in range(n_chunks):
+        lo, hi = i * chunk_size, (i + 1) * chunk_size
+        ranges = {
+            p: (lo, min(hi, end)) for p, end in ends.items() if end > lo
+        }
+        if not ranges:
+            continue
+        chunk = scan_events(spark, events_path, ranges=ranges, merge_schema=merge_schema)
+        winners = last_writer_wins(chunk, salt_buckets=salt_buckets)
+        results.append(table.merge_into(winners, batch_id=i, ranges=ranges))
+    return table, results

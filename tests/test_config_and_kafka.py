@@ -1,0 +1,74 @@
+"""Unit tests for config validation + Kafka option builders (pure functions)."""
+
+import json
+
+import pytest
+
+from kafka_plugins_spark.config import ConfigError, IngestConfig
+from kafka_plugins_spark.sources.kafka import (
+    EARLIEST,
+    LATEST,
+    kafka_stream_options,
+    max_offsets_per_trigger,
+    partition_assignment,
+    resolve_starting_offsets,
+    validate_saved_offsets,
+)
+
+
+def test_config_ok():
+    IngestConfig(events_path="/tmp/e", table_path="/tmp/t").validate()
+    IngestConfig(brokers="k1:9092,k2:9092", topic="t", table_path="/tmp/t").validate()
+
+
+def test_config_collects_all_failures():
+    with pytest.raises(ConfigError) as ei:
+        IngestConfig(
+            brokers="nothostport",
+            topic="",
+            table_path="",
+            max_rate_per_partition=0,
+            principal="p",  # keytab missing
+        ).validate()
+    msgs = ei.value.failures
+    assert len(msgs) >= 4  # all problems reported at once, FailureCollector-style
+
+
+def test_starting_offsets_sentinels():
+    assert resolve_starting_offsets("t", [0, 1], EARLIEST) == "earliest"
+    assert resolve_starting_offsets("t", [0, 1], LATEST) == "latest"
+    v = json.loads(resolve_starting_offsets("t", [0, 1, 2], EARLIEST, overrides={1: 5}))
+    assert v == {"t": {"0": -2, "1": 5, "2": -2}}
+
+
+def test_starting_offsets_invalid():
+    with pytest.raises(ValueError):
+        resolve_starting_offsets("t", [0], EARLIEST, overrides={0: -7})
+
+
+def test_saved_offset_validation():
+    validate_saved_offsets({0: 5}, earliest={0: 0}, latest={0: 10})
+    with pytest.raises(ValueError) as ei:
+        validate_saved_offsets(
+            {0: 99, 1: 2, 2: 1}, earliest={0: 0, 1: 5}, latest={0: 10, 1: 8}
+        )
+    msg = str(ei.value)
+    # aggregated: every bad partition named, like the reference's error string
+    assert "partition 0" in msg and "partition 1" in msg and "partition 2" in msg
+
+
+def test_partition_assignment():
+    assert json.loads(partition_assignment("t", [2, 0])) == {"t": [0, 2]}
+
+
+def test_max_offsets_per_trigger():
+    assert max_offsets_per_trigger(1000, 4, 1.0) == 4000
+    assert max_offsets_per_trigger(1000, 4, 0.5) == 2000
+
+
+def test_stream_options_subscribe_vs_assign():
+    o = kafka_stream_options("b:9092", "topic", n_partitions=4)
+    assert o["subscribe"] == "topic" and "assign" not in o
+    o = kafka_stream_options("b:9092", "topic", partitions=[0, 1], n_partitions=2)
+    assert "subscribe" not in o and json.loads(o["assign"]) == {"topic": [0, 1]}
+    assert o["failOnDataLoss"] == "true"

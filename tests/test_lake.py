@@ -1,0 +1,118 @@
+"""Fence / resume / failure semantics (SURVEY.md §5 items 2-3).
+
+Mirrors the reference's state-store test matrix: resume skips committed
+work (KafkaStreamingSourceStateStoreTest), a failed batch must not advance
+the cursor (KafkaStreamingSourceStateStoreFailureTest), and replaying a
+committed range is a no-op — but here the guarantee is exactly-once, not
+at-least-once, because the cursor commits atomically with the data.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.lake import IcebergMergeBackend, ParquetSnapshotTable
+from kafka_plugins_spark.operators.resolve import last_writer_wins
+from kafka_plugins_spark.replay import replay
+from tests.util import assert_tables_equal, duckdb_final_state
+
+
+def test_resume_after_partial_replay(spark, events_path, tmp_path):
+    path = str(tmp_path / "t")
+    # first half
+    table, r1 = replay(spark, events_path, path, chunk_size=150, max_chunks=2)
+    applied_1 = [r for r in r1 if not r.skipped]
+    assert applied_1
+    # resume: full replay from the start — committed chunks fence out
+    table, r2 = replay(spark, events_path, path, chunk_size=150)
+    skipped = [r for r in r2 if r.skipped]
+    assert len(skipped) >= len(applied_1)
+    assert_tables_equal(table.read().toPandas(), duckdb_final_state(events_path))
+
+
+def test_replay_committed_range_is_noop(spark, events_path, tmp_path):
+    path = str(tmp_path / "t")
+    table, r1 = replay(spark, events_path, path)
+    snap_before = table.current_snapshot()
+    table, r2 = replay(spark, events_path, path)
+    assert all(r.skipped for r in r2)
+    assert table.current_snapshot() == snap_before
+    assert_tables_equal(table.read().toPandas(), duckdb_final_state(events_path))
+
+
+def test_two_half_replay_equals_single_shot(spark, events_path, tmp_path):
+    one = str(tmp_path / "one")
+    two = str(tmp_path / "two")
+    t_one, _ = replay(spark, events_path, one)
+    t_two, _ = replay(spark, events_path, two, chunk_size=100, max_chunks=3)
+    t_two, _ = replay(spark, events_path, two, chunk_size=100)
+    assert_tables_equal(t_two.read().toPandas(), t_one.read().toPandas())
+
+
+def test_failed_batch_does_not_advance_cursor(spark, events_path, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    table, _ = replay(spark, events_path, path, chunk_size=150, max_chunks=1)
+    wm_before = table.watermarks()
+
+    # make the data write blow up mid-commit
+    orig = ParquetSnapshotTable._commit
+
+    def boom(self, snap_id, snapshot):
+        raise RuntimeError("injected failure before snapshot publish")
+
+    monkeypatch.setattr(ParquetSnapshotTable, "_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        replay(spark, events_path, path, chunk_size=150, max_chunks=2)
+    monkeypatch.setattr(ParquetSnapshotTable, "_commit", orig)
+
+    t2 = ParquetSnapshotTable(spark, path)
+    assert t2.watermarks() == wm_before  # cursor unmoved
+    # restart reprocesses exactly the failed range and converges
+    t2, _ = replay(spark, events_path, path, chunk_size=150)
+    assert_tables_equal(t2.read().toPandas(), duckdb_final_state(events_path))
+
+
+def test_partial_overlap_applies_only_suffix(spark, events_path, tmp_path):
+    """A batch straddling the watermark applies only the unseen suffix."""
+    path = str(tmp_path / "t")
+    table, _ = replay(spark, events_path, path, chunk_size=150, max_chunks=1)
+    ev = spark.read.parquet(events_path)
+    # batch covering [0, 300) per partition — [0, 150) is already committed
+    batch = ev.filter(F.col("offset") < 300)
+    winners = last_writer_wins(batch)
+    from kafka_plugins_spark.sources.events import partition_end_offsets
+
+    ends = partition_end_offsets(batch)
+    res = table.merge_into(winners, batch_id=99, ranges={p: (0, e) for p, e in ends.items()})
+    assert not res.skipped
+    for p, (lo, _) in res.ranges.items():
+        assert lo >= 150  # fence clipped the committed prefix
+    lin = table.read_lineage().filter(F.col("batch_id") == 99).collect()
+    assert all(r["start_offset"] >= 150 for r in lin)
+
+
+def test_empty_table_reads_empty(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "nothing"))
+    assert t.read().count() == 0
+    assert t.watermarks() == {}
+
+
+def test_delete_events_remove_rows(spark, events_path, tmp_path):
+    table, _ = replay(spark, events_path, str(tmp_path / "t"))
+    ev = spark.read.parquet(events_path)
+    deleted_keys = (
+        last_writer_wins(ev).filter(F.col("op") == "D").select("conv_id", "turn_idx")
+    )
+    n_deleted = deleted_keys.count()
+    assert n_deleted > 0
+    present = table.read().join(deleted_keys, ["conv_id", "turn_idx"], "inner").count()
+    assert present == 0
+
+
+def test_iceberg_merge_sql():
+    sql = IcebergMergeBackend("lake.db.transcripts").build_merge_sql("updates_v")
+    assert "MERGE INTO lake.db.transcripts t" in sql
+    assert "USING updates_v s" in sql
+    assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
+    assert "WHEN MATCHED AND s.op = 'D' THEN DELETE" in sql
+    assert "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT" in sql
+    assert "t.text = s.text" in sql
