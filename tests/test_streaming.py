@@ -1,0 +1,120 @@
+"""Streaming ingest: golden output, checkpoint-resume, fence idempotence.
+
+The analogue of the reference's KafkaStreamingSourceTest matrix
+(stop → produce more → restart resumes; failed batches don't advance the
+cursor), on a file-stream stand-in for the topic.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.datagen import generate_events
+from kafka_plugins_spark.streaming.pipeline import file_event_source, start_ingest_stream
+from tests.util import assert_tables_equal, duckdb_final_state
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """Event log split into two file drops: offsets < 400 and the rest."""
+    root = tmp_path_factory.mktemp("stream")
+    full = str(root / "full")
+    df = generate_events(spark, n_conversations=100, n_partitions=4, seed=13)
+    # flat parquet (no hive partitioning) so the file stream sees plain files
+    df.filter(F.col("offset") < 400).coalesce(2).write.parquet(f"{full}/drop1")
+    df.filter(F.col("offset") >= 400).coalesce(2).write.parquet(f"{full}/drop2")
+    oracle_dir = str(root / "oracle")
+    df.write.partitionBy("partition").parquet(oracle_dir)
+    return {"root": str(root), "full": full, "oracle": oracle_dir}
+
+
+def _stage(src_drop: str, watch: str) -> None:
+    os.makedirs(watch, exist_ok=True)
+    for f in glob.glob(f"{src_drop}/*.parquet"):
+        shutil.copy(f, watch)
+
+
+def test_stream_golden_and_resume(spark, staged, tmp_path):
+    watch = str(tmp_path / "watch")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(f"{staged['full']}/drop1").schema
+
+    # phase 1: only the first drop is visible
+    _stage(f"{staged['full']}/drop1", watch)
+    s1 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, ckpt,
+        watermark_delay="30 hours",
+    )
+    s1.await_and_stop()
+    assert any(not c.skipped for c in s1.commits)
+    wm1 = s1.table.watermarks()
+    assert wm1 and all(v <= 400 for v in wm1.values())
+
+    # stop → produce more → restart resumes from checkpoint (only drop2 read)
+    _stage(f"{staged['full']}/drop2", watch)
+    s2 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, ckpt,
+        watermark_delay="30 hours",
+    )
+    s2.await_and_stop()
+    final = s2.table.read().toPandas()
+    assert_tables_equal(final, duckdb_final_state(staged["oracle"]))
+    # resumed batches only applied offsets beyond the committed watermark
+    for c in s2.commits:
+        if not c.skipped:
+            for p, (lo, _) in c.ranges.items():
+                assert lo >= wm1.get(p, 0)
+
+
+def test_stream_restart_with_fresh_checkpoint_is_noop(spark, staged, tmp_path):
+    """Losing the Spark checkpoint must NOT double-apply: the snapshot
+    fence alone makes full re-reads idempotent (belt and braces, like the
+    reference's dual checkpoint/state-store modes)."""
+    watch = str(tmp_path / "watch")
+    table_path = str(tmp_path / "table")
+    schema = spark.read.parquet(f"{staged['full']}/drop1").schema
+    _stage(f"{staged['full']}/drop1", watch)
+    _stage(f"{staged['full']}/drop2", watch)
+
+    s1 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, str(tmp_path / "c1"),
+        watermark_delay="30 hours",
+    )
+    s1.await_and_stop()
+    snap = s1.table.current_snapshot()
+
+    # same data, brand-new checkpoint → every event replays → all fenced
+    s2 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, str(tmp_path / "c2"),
+        watermark_delay="30 hours",
+    )
+    s2.await_and_stop()
+    assert all(c.skipped for c in s2.commits)
+    assert s2.table.current_snapshot() == snap
+    assert_tables_equal(s2.table.read().toPandas(), duckdb_final_state(staged["oracle"]))
+
+
+def test_stream_multi_trigger_converges(spark, staged, tmp_path):
+    """Many micro-batches (1 file per trigger) converge to the oracle."""
+    watch = str(tmp_path / "watch")
+    schema = spark.read.parquet(f"{staged['full']}/drop1").schema
+    _stage(f"{staged['full']}/drop1", watch)
+    _stage(f"{staged['full']}/drop2", watch)
+    s = start_ingest_stream(
+        spark,
+        file_event_source(spark, watch, schema, max_files_per_trigger=1),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        watermark_delay="30 hours",
+    )
+    s.await_and_stop()
+    applied = [c for c in s.commits if not c.skipped]
+    assert len(applied) >= 2  # genuinely incremental
+    assert_tables_equal(s.table.read().toPandas(), duckdb_final_state(staged["oracle"]))
+    lin = s.table.read_lineage()
+    assert lin.count() >= 2
+    assert lin.filter(F.col("rows") <= 0).count() == 0
