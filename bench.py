@@ -1,0 +1,185 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): one JSON line with the headline
+metric — sustained CDC replay events/sec at $SPARK_GRAFT_SF_DIR scale on
+local[$SPARK_GRAFT_CPUS] — plus per-query wall times for a representative
+operator suite over the sf tables.
+
+--scaling mode (north-rule evidence): runs the identical replay job in
+fresh JVMs at local[8] and local[32] on the same pre-generated input and
+writes BENCH/BASELINE.md with events/sec at both and the efficiency
+T(32)/(4·T(8)).
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling
+    python bench.py --replay-only --cores 8 --events /tmp/x  (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "cdc_lww",
+    "cdc_final_state",
+    "pricing_summary",
+    "nation_volume",
+    "top_orders_per_customer",
+    "sessionize",
+    "doc_quality",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "knn_label_vote",
+]
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _gen_events(spark, sf_dir: str, out: str, seed: int = 42) -> int:
+    """Deterministic CDC event log sized to the sf tier (~45 events/conv)."""
+    from kafka_plugins_spark.datagen import generate_events, write_events
+
+    n_events_target = spark.read.parquet(f"{sf_dir}/events.parquet").count() * 30
+    n_conversations = max(n_events_target // 45, 200)
+    df = generate_events(spark, n_conversations=n_conversations, n_partitions=32, seed=seed)
+    write_events(df, out)
+    return spark.read.parquet(out).count()
+
+
+def _run_replay(spark, events_path: str, table_path: str) -> dict:
+    from kafka_plugins_spark.replay import replay
+
+    n_events = spark.read.parquet(events_path).count()
+    t0 = time.monotonic()
+    table, results = replay(spark, events_path, table_path, salt_buckets=8)
+    wall = time.monotonic() - t0
+    rows = sum(r.rows_applied for r in results)
+    return {
+        "n_events": n_events,
+        "rows_applied": rows,
+        "replay_sec": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
+def replay_only(cores: int, events_path: str) -> None:
+    from kafka_plugins_spark.session import get_spark
+
+    spark = get_spark(f"bench-replay-{cores}", cores=cores)
+    with tempfile.TemporaryDirectory(prefix="bench_table_") as tbl:
+        print(json.dumps(_run_replay(spark, events_path, f"{tbl}/t")))
+
+
+def full_bench(sf_dir: str, cores: int) -> dict:
+    from kafka_plugins_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+    out: dict = {"sf": _sf_value(sf_dir), "cores": cores}
+
+    with tempfile.TemporaryDirectory(prefix="bench_cdc_") as work:
+        ev = f"{work}/events"
+        n = _gen_events(spark, sf_dir, ev)
+        rep = _run_replay(spark, ev, f"{work}/table")
+        out["cdc_replay"] = rep
+        out["metric"] = "cdc replay-to-converged-table throughput"
+        out["value"] = rep["events_per_sec"]
+        out["unit"] = "events/sec"
+        out["n_events"] = n
+
+    from kafka_plugins_spark.entry_queries import QUERIES
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+    out["queries"] = qtimes
+    return out
+
+
+def scaling(sf_dir: str) -> dict:
+    """North-rule evidence: identical job, local[8] vs local[32]."""
+    from kafka_plugins_spark.session import get_spark
+
+    spark = get_spark("bench-gen", cores=32)
+    work = tempfile.mkdtemp(prefix="bench_scaling_")
+    ev = f"{work}/events"
+    n = _gen_events(spark, sf_dir, ev)
+    spark.stop()
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
+             "--cores", str(cores), "--events", ev],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+
+    eff = results[32]["events_per_sec"] / (4 * results[8]["events_per_sec"])
+    report = {
+        "n_events": n,
+        "local8_events_per_sec": results[8]["events_per_sec"],
+        "local32_events_per_sec": results[32]["events_per_sec"],
+        "local8_sec": results[8]["replay_sec"],
+        "local32_sec": results[32]["replay_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(
+            "# BENCH — replay throughput scaling evidence (north rule)\n\n"
+            "Identical replay job (dedup → salted LWW → fenced CoW merge) on the\n"
+            "same pre-generated CDC event log, fresh JVM per parallelism level.\n"
+            "Sandbox stand-in for N vs 4N executors per BASELINE.md.\n\n"
+            f"| config | events | wall (s) | events/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {n} | {results[8]['replay_sec']} | {results[8]['events_per_sec']} |\n"
+            f"| local[32] | {n} | {results[32]['replay_sec']} | {results[32]['events_per_sec']} |\n\n"
+            f"**Scaling efficiency** `T(32)/(4*T(8))` = **{eff:.3f}** "
+            f"(north-rule target ≥ 0.8).\n"
+        )
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--events", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if args.replay_only:
+        replay_only(cores, args.events)
+        return 0
+    if args.scaling:
+        print(json.dumps(scaling(sf_dir)))
+        return 0
+    print(json.dumps(full_bench(sf_dir, cores)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""spark-submit entrypoint: ``spark-submit --py-files kafka_plugins_spark.zip cli.py ...``
+
+Subcommands:
+  replay   — batch replay an event log into a lake table (resumable)
+  stream   — tail an event directory (or Kafka topic) into a lake table
+  datagen  — write a deterministic synthetic CDC event log
+  browse   — list lake tables / sample one
+
+On a real cluster drop the ``--cores`` flag (the session builder only
+pins a master when given one via SPARK_GRAFT_CPUS/--cores; spark-submit's
+--master wins otherwise) and size ``spark.sql.shuffle.partitions`` to
+~2-3× total executor cores — AQE coalesces the rest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from kafka_plugins_spark.config import IngestConfig
+from kafka_plugins_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kafka_plugins_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay")
+    rp.add_argument("--events", required=True)
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--chunk-size", type=int, default=None)
+    rp.add_argument("--salt-buckets", type=int, default=8)
+    rp.add_argument("--cores", type=int, default=None)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--events", required=True)
+    st.add_argument("--table", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--watermark", default="24 hours")
+    st.add_argument("--no-dedup", action="store_true")
+    st.add_argument("--salt-buckets", type=int, default=8)
+    st.add_argument("--cores", type=int, default=None)
+
+    dg = sub.add_parser("datagen")
+    dg.add_argument("--out", required=True)
+    dg.add_argument("--conversations", type=int, default=1000)
+    dg.add_argument("--partitions", type=int, default=8)
+    dg.add_argument("--seed", type=int, default=42)
+    dg.add_argument("--hot-updates-per-turn", type=int, default=0)
+    dg.add_argument("--evolution-cut", type=int, default=None)
+    dg.add_argument("--cores", type=int, default=None)
+
+    br = sub.add_parser("browse")
+    br.add_argument("--warehouse", required=True)
+    br.add_argument("--sample", default=None)
+    br.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+    t0 = time.monotonic()
+
+    if args.cmd == "replay":
+        IngestConfig(
+            events_path=args.events,
+            table_path=args.table,
+            salt_buckets=args.salt_buckets,
+            chunk_size=args.chunk_size,
+        ).validate()
+        spark = get_spark("cdc-replay", cores=args.cores)
+        from kafka_plugins_spark.replay import replay
+
+        table, results = replay(
+            spark, args.events, args.table, chunk_size=args.chunk_size, salt_buckets=args.salt_buckets
+        )
+        applied = sum(1 for r in results if not r.skipped)
+        rows = sum(r.rows_applied for r in results)
+        print(
+            json.dumps(
+                {
+                    "commits": len(results),
+                    "applied": applied,
+                    "rows_applied": rows,
+                    "wall_sec": round(time.monotonic() - t0, 2),
+                    "events_per_sec": round(rows / max(time.monotonic() - t0, 1e-9), 1),
+                    "watermarks": table.watermarks(),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "stream":
+        IngestConfig(
+            events_path=args.events, table_path=args.table, checkpoint_path=args.checkpoint
+        ).validate()
+        spark = get_spark("cdc-stream", cores=args.cores)
+        from kafka_plugins_spark.streaming.pipeline import file_event_source, start_ingest_stream
+
+        schema = spark.read.parquet(args.events).schema
+        s = start_ingest_stream(
+            spark,
+            file_event_source(spark, args.events, schema),
+            args.table,
+            args.checkpoint,
+            salt_buckets=args.salt_buckets,
+            watermark_delay=args.watermark,
+            dedup=not args.no_dedup,
+        )
+        s.await_and_stop()
+        rows = sum(c.rows_applied for c in s.commits)
+        print(
+            json.dumps(
+                {
+                    "commits": len(s.commits),
+                    "rows_applied": rows,
+                    "wall_sec": round(time.monotonic() - t0, 2),
+                    "watermarks": s.table.watermarks(),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "datagen":
+        spark = get_spark("cdc-datagen", cores=args.cores)
+        from kafka_plugins_spark.datagen import generate_events, write_events
+
+        df = generate_events(
+            spark,
+            n_conversations=args.conversations,
+            n_partitions=args.partitions,
+            seed=args.seed,
+            hot_updates_per_turn=args.hot_updates_per_turn,
+        )
+        write_events(df, args.out, evolution_cut_offset=args.evolution_cut)
+        n = spark.read.parquet(args.out if args.evolution_cut is None else f"{args.out}/phase=1").count()
+        print(json.dumps({"out": args.out, "events_visible": n, "wall_sec": round(time.monotonic() - t0, 2)}))
+        return 0
+
+    if args.cmd == "browse":
+        spark = get_spark("cdc-browse")
+        from kafka_plugins_spark.connector import LakeConnector
+
+        c = LakeConnector(spark, args.warehouse)
+        if args.sample:
+            for row in c.sample(args.sample, args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+        else:
+            for e in c.browse():
+                print(json.dumps(e.__dict__))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

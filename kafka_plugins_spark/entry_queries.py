@@ -1,0 +1,642 @@
+"""Driver-contract query suite: Spark implementations + DuckDB oracles.
+
+Every entry implements an operator from SURVEY.md §2 (CDC core) or the
+training-data operator library (dedup / similarity / text analysis) over
+the driver's testdata tables. Each Spark query has an exactly-equivalent
+ANSI-SQL oracle; aliases match column-for-column (the driver hashes
+values after sorting columns by name).
+
+Portability rules used throughout (keep when editing):
+- floats that underwent arithmetic are ``round(x, 2..4)`` in BOTH engines;
+  raw parquet values pass through unrounded (exact in both).
+- hashes are md5-hex (identical everywhere); 16-bit ints derive from hex
+  chars (Spark ``conv``, DuckDB ``strpos`` arithmetic — same numbers).
+- word split is ``lower`` + split on ``[^a-z0-9]+`` + drop empties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.operators import dedup as dd
+from kafka_plugins_spark.operators import similarity as sim
+from kafka_plugins_spark.operators import text as tx
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# CDC core operators, mapped onto the driver's `events` table:
+#   key = (user_id, event_type) or user_id; offset = event_id;
+#   tombstone op = event_type 'error' (stand-in for op='D').
+# =========================================================================
+
+def q_cdc_dedup(spark, sf):
+    """Replay dedup (dropDuplicates by key+offset) — SURVEY §2b."""
+    return (
+        _t(spark, sf, "events")
+        .select("user_id", "event_id", "event_type")
+        .dropDuplicates(["user_id", "event_id"])
+    )
+
+
+def q_cdc_lww(spark, sf):
+    """Last-writer-wins per (user_id, event_type) by max event_id (max_by,
+    single shuffle with map-side partial agg)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max_by("ts", "event_id").alias("last_ts"),
+        F.max("event_id").alias("last_event_id"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_cdc_lww_salted(spark, sf):
+    """Same winners via the salted two-phase reduce (hot-key path)."""
+    ev = _t(spark, sf, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt")
+    partial = ev.groupBy("user_id", "event_type", salt).agg(
+        F.max_by(F.struct("value", "ts"), "event_id").alias("_w"),
+        F.max("event_id").alias("_mx"),
+        F.count("*").alias("_n"),
+    )
+    return partial.groupBy("user_id", "event_type").agg(
+        F.max_by("_w", "_mx").getField("value").alias("last_value"),
+        F.max_by("_w", "_mx").getField("ts").alias("last_ts"),
+        F.max("_mx").alias("last_event_id"),
+        F.sum("_n").alias("n_events"),
+    )
+
+
+def q_cdc_final_state(spark, sf):
+    """Converged table per user: LWW winner, tombstone ('error') dropped."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("last_type"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("last_type") != "error")
+    )
+
+
+def q_cdc_partition_offsets(spark, sf):
+    """Per-partition cursor planning (B2/B4): end offset + row count."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("partition", F.pmod(F.col("user_id"), F.lit(8)).cast("int"))
+        .groupBy("partition")
+        .agg(
+            (F.max("event_id") + 1).alias("end_offset"),
+            F.count("*").alias("rows"),
+        )
+    )
+
+
+_CDC_LWW_SQL = """
+SELECT user_id, event_type,
+       arg_max(value, event_id) AS last_value,
+       arg_max(ts, event_id)    AS last_ts,
+       max(event_id)            AS last_event_id,
+       count(*)                 AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+CDC_ORACLES = {
+    "cdc_dedup": "SELECT DISTINCT user_id, event_id, event_type FROM events",
+    "cdc_lww": _CDC_LWW_SQL,
+    "cdc_lww_salted": _CDC_LWW_SQL,
+    "cdc_final_state": """
+        SELECT user_id,
+               arg_max(event_type, event_id) AS last_type,
+               arg_max(value, event_id)      AS last_value,
+               max(event_id)                 AS last_event_id,
+               count(*)                      AS n_events
+        FROM events GROUP BY user_id
+        HAVING arg_max(event_type, event_id) <> 'error'
+    """,
+    "cdc_partition_offsets": """
+        SELECT (user_id % 8)::INT AS partition,
+               max(event_id) + 1  AS end_offset,
+               count(*)           AS rows
+        FROM events GROUP BY 1
+    """,
+}
+
+
+# =========================================================================
+# Relational breadth (joins / aggs / windows / rollup / top-k)
+# =========================================================================
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem")
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_volume(spark, sf):
+    """Multi-join with broadcast dims: revenue by region+nation where the
+    supplying nation is the customer's nation (TPC-H Q5 shape)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_top_orders_per_customer(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min inactivity gap starts a new session."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def q_event_counts(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n", "sum_value"
+        )
+    )
+
+
+REL_ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "nation_volume": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY r_name, n_name
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders) WHERE rn <= 3
+    """,
+    "sessionize": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "event_counts": """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "events_rollup": """
+        SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY ROLLUP(event_type)
+    """,
+}
+
+
+# =========================================================================
+# Text analysis (documents)
+# =========================================================================
+
+def q_doc_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_doc_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    m = tx.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+def q_doc_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    s = tx.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["en"].alias("score_en"),
+        s["es"].alias("score_es"),
+        s["de"].alias("score_de"),
+        s["fr"].alias("score_fr"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+_WORDS_CTE = """
+words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+    FROM documents
+)
+"""
+
+_SHINGLES_CTE = (
+    _WORDS_CTE
+    + """,
+shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words
+)
+"""
+)
+
+_STOP_EN = "\\b(" + "|".join(tx.LANG_STOPWORDS["en"]) + ")\\b"
+
+
+def _lang_pat(lang: str) -> str:
+    return "\\b(" + "|".join(tx.LANG_STOPWORDS[lang]) + ")\\b"
+
+
+TEXT_ORACLES = {
+    "doc_stats": f"""
+        WITH {_WORDS_CTE}
+        SELECT d.doc_id,
+               length(d.text)::BIGINT AS n_chars_actual,
+               len(w.w)::BIGINT       AS n_tokens,
+               (len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'), x -> x <> ''))
+                + len(list_filter(string_split_regex(d.text, '[^0-9]+'), x -> x <> ''))
+                + length(regexp_replace(d.text, '[a-zA-Z0-9\\s]+', '', 'g')))::BIGINT AS n_tokens_bpe,
+               md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        FROM documents d JOIN words w ON d.doc_id = w.doc_id
+    """,
+    "doc_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(lower(text), '{_STOP_EN}'))::BIGINT AS n_stop
+            FROM documents)
+        SELECT doc_id, n_tokens,
+               round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio,
+               round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+               round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+               round(n_alpha / greatest(n_tokens, 1), 4) AS mean_word_len,
+               round(n_alpha / greatest(n_chars, 1)
+                     - (n_punct / greatest(n_chars, 1)) * 2
+                     + least((n_stop / greatest(n_tokens, 1)) * 2, 0.4)
+                     + CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.2 ELSE 0.0 END,
+                     4) AS quality_score
+        FROM base
+    """,
+    "doc_lang_id": f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   len(regexp_extract_all(lower(text), '{_lang_pat("en")}'))::BIGINT AS score_en,
+                   len(regexp_extract_all(lower(text), '{_lang_pat("es")}'))::BIGINT AS score_es,
+                   len(regexp_extract_all(lower(text), '{_lang_pat("de")}'))::BIGINT AS score_de,
+                   len(regexp_extract_all(lower(text), '{_lang_pat("fr")}'))::BIGINT AS score_fr
+            FROM documents)
+        SELECT doc_id, score_en, score_es, score_de, score_fr,
+               CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+                    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                    WHEN score_de >= score_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """,
+}
+
+
+# =========================================================================
+# Dedup family (documents)
+# =========================================================================
+
+def q_dedup_exact(spark, sf):
+    return dd.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dd.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+
+def q_dedup_simhash(spark, sf):
+    return dd.simhash_duplicates(_t(spark, sf, "documents"))
+
+
+def _minhash_sql_parts(num_hashes: int = 8, bands: int = 4) -> tuple[str, str]:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return sig_cols, band_selects
+
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(i.n_common / (sa.sz + sb.sz - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+_SIG_COLS, _BAND_SELECTS = _minhash_sql_parts()
+
+_H16 = (
+    "((strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1))"
+)
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}" for k in range(16)
+)
+_SIMHASH_ASSEMBLE = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+
+DEDUP_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        {_JACCARD_TAIL}
+        WHERE round(i.n_common / (sa.sz + sb.sz - i.n_common), 4) >= 0.2
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (SELECT doc_id, {_SIG_COLS} FROM shingles GROUP BY doc_id),
+        bands AS ({_BAND_SELECTS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band_id, band_key)
+            WHERE a.doc_id < b.doc_id),
+        {_JACCARD_TAIL.replace('FROM inter i', 'FROM inter i JOIN cand USING (doc_a, doc_b)', 1)}
+        WHERE round(i.n_common / (sa.sz + sb.sz - i.n_common), 4) >= 0.2
+    """,
+    "dedup_simhash": f"""
+        WITH {_WORDS_CTE},
+        words_e AS (SELECT doc_id, unnest(w) AS word FROM words),
+        h AS (SELECT doc_id, {_H16} AS h FROM words_e),
+        bitsum AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id),
+        simt AS (SELECT doc_id, ({_SIMHASH_ASSEMBLE})::BIGINT AS simhash FROM bitsum)
+        SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+        FROM simt GROUP BY simhash HAVING count(*) > 1
+    """,
+}
+
+
+# =========================================================================
+# Similarity search (embeddings)
+# =========================================================================
+
+def q_ann_topk(spark, sf):
+    return sim.brute_force_topk(_t(spark, sf, "embeddings"), n_queries=20, k=5)
+
+
+def q_emb_neardup(spark, sf):
+    return sim.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
+def q_knn_label_vote(spark, sf):
+    return sim.knn_label_vote(_t(spark, sf, "embeddings"), n_queries=20, k=5)
+
+
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN — the scale path. No SQL oracle (bucket planes are
+    engine-side literals); the driver records a rows-only check."""
+    return sim.ann_lsh_topk(_t(spark, sf, "embeddings"), n_queries=20, k=5)
+
+
+_COS = (
+    "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"
+)
+
+SIM_ORACLES = {
+    "ann_topk": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id <> a.vec_id)
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= 5
+    """,
+    "emb_neardup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.45
+    """,
+    "knn_label_vote": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label, {_COS} AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        topk AS (
+            SELECT query_id, n_label FROM (
+                SELECT query_id, n_label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored) WHERE rank <= 5),
+        votes AS (
+            SELECT query_id, n_label, count(*) AS n_votes
+            FROM topk GROUP BY query_id, n_label)
+        SELECT query_id, n_label AS predicted_label, n_votes FROM (
+            SELECT query_id, n_label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, n_label ASC) AS r
+            FROM votes) WHERE r = 1
+    """,
+}
+
+
+# =========================================================================
+# registry
+# =========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_dedup": q_cdc_dedup,
+    "cdc_lww": q_cdc_lww,
+    "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_final_state": q_cdc_final_state,
+    "cdc_partition_offsets": q_cdc_partition_offsets,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "nation_volume": q_nation_volume,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "sessionize": q_sessionize,
+    "event_counts": q_event_counts,
+    "events_rollup": q_events_rollup,
+    "doc_stats": q_doc_stats,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "emb_neardup": q_emb_neardup,
+    "knn_label_vote": q_knn_label_vote,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    **CDC_ORACLES,
+    **REL_ORACLES,
+    **TEXT_ORACLES,
+    **DEDUP_ORACLES,
+    **SIM_ORACLES,
+    # ann_lsh_topk intentionally absent → rows-only check
+}

@@ -1,0 +1,220 @@
+"""Envelope projection + payload decode — the reference's RecordFormat layer.
+
+The reference splits its declared schema into envelope fields populated
+from Kafka metadata and message fields decoded by a pluggable
+``RecordFormat`` (``KafkaStreamingSourceUtil.java:247-343``). Supported
+formats there: ``avro, binary, clf, csv, grok, syslog, text, tsv``
+(``widgets/Kafka-streamingsource.json``). Here every format is a pure
+column expression (whole-stage codegen'd): ``from_csv``/``from_json`` for
+delimited/JSON, regexp extraction for CLF/syslog/grok. No per-row Python
+anywhere on the decode path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Kafka source fixed schema: key, value (binary), topic, partition, offset,
+# timestamp, timestampType — the envelope the reference copies per record.
+ENVELOPE_RENAMES = {
+    "timeField": "timestamp",
+    "keyField": "key",
+    "partitionField": "partition",
+    "offsetField": "offset",
+}
+
+
+def project_envelope(
+    df: DataFrame,
+    time_field: str | None = None,
+    key_field: str | None = None,
+    partition_field: str | None = None,
+    offset_field: str | None = None,
+) -> DataFrame:
+    """Rename Kafka metadata columns to the user's declared envelope names
+    (the reference's timeField/keyField/partitionField/offsetField,
+    ``KafkaConfig.java:112-134``). Unrequested metadata is dropped —
+    column pruning then keeps it out of the scan entirely."""
+    keep: list[Column] = []
+    for want, src in (
+        (time_field, "timestamp"),
+        (key_field, "key"),
+        (partition_field, "partition"),
+        (offset_field, "offset"),
+    ):
+        if want is not None:
+            keep.append(F.col(src).alias(want))
+    keep.append(F.col("value"))
+    return df.select(*keep)
+
+
+# --- regex formats ----------------------------------------------------------
+
+# Apache Common Log Format: host ident authuser [date] "request" status bytes
+CLF_REGEX = r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\d{3}) (\S+)'
+CLF_FIELDS = [
+    ("remote_host", T.StringType(), 1),
+    ("remote_login", T.StringType(), 2),
+    ("auth_user", T.StringType(), 3),
+    ("request_time", T.StringType(), 4),
+    ("request", T.StringType(), 5),
+    ("status", T.IntegerType(), 6),
+    ("content_length", T.LongType(), 7),
+]
+
+# RFC3164 syslog: <pri>MMM dd HH:MM:SS host tag[pid]: message
+SYSLOG_REGEX = r"^<(\d+)>(\w{3}\s+\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[(\d+)\])?: ?(.*)$"
+SYSLOG_FIELDS = [
+    ("priority", T.IntegerType(), 1),
+    ("log_time", T.StringType(), 2),
+    ("host", T.StringType(), 3),
+    ("tag", T.StringType(), 4),
+    ("pid", T.IntegerType(), 5),
+    ("message", T.StringType(), 6),
+]
+
+# Minimal grok pattern library (the common subset of the canonical set)
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "POSINT": r"\d+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": r"[a-zA-Z0-9.\-]+",
+    "IPORHOST": r"[a-zA-Z0-9.\-]+",
+    "QS": r'"[^"]*"',
+    "QUOTEDSTRING": r'"[^"]*"',
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL|SEVERE",
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(expr: str) -> tuple[str, list[str]]:
+    """Compile a grok expression to (regex, captured field names).
+
+    Named tokens ``%{PATTERN:field}`` become capture groups; unnamed
+    tokens are matched but not captured. Literal text is escaped.
+    """
+    out: list[str] = []
+    names: list[str] = []
+    pos = 0
+    for m in _GROK_TOKEN.finditer(expr):
+        out.append(re.escape(expr[pos : m.start()]))
+        pat_name, field = m.group(1), m.group(2)
+        if pat_name not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{pat_name}}}")
+        pat = GROK_PATTERNS[pat_name]
+        if field:
+            out.append(f"({pat})")
+            names.append(field)
+        else:
+            out.append(f"(?:{pat})")
+        pos = m.end()
+    out.append(re.escape(expr[pos:]))
+    return "".join(out), names
+
+
+def _extract_fields(
+    col: Column, regex: str, fields: list[tuple[str, T.DataType, int]]
+) -> list[Column]:
+    cols = []
+    for name, dtype, group in fields:
+        c = F.regexp_extract(col, regex, group)
+        c = F.when(c == "", None).otherwise(c).cast(dtype)
+        cols.append(c.alias(name))
+    return cols
+
+
+def decode_value(
+    df: DataFrame,
+    fmt: str,
+    schema: T.StructType | str | None = None,
+    options: dict[str, str] | None = None,
+    grok_expr: str | None = None,
+    message_field: str = "message",
+) -> DataFrame:
+    """Decode the binary ``value`` column into message fields.
+
+    With no format the reference requires exactly one ``bytes`` message
+    field (``KafkaConfig.java:509-531``) — that's ``fmt="binary"`` here.
+    Malformed records decode to nulls (PERMISSIVE), never fail the task;
+    route them to a dead-letter table with
+    :func:`kafka_plugins_spark.sink.split_dead_letters`.
+    """
+    fmt = fmt.lower()
+    others = [c for c in df.columns if c != "value"]
+    text = F.col("value").cast("string")
+
+    if fmt == "binary":
+        return df.select(*others, F.col("value").alias(message_field))
+    if fmt == "text":
+        return df.select(*others, text.alias(message_field))
+    if fmt in ("csv", "tsv"):
+        if schema is None:
+            raise ValueError(f"{fmt} decode requires a schema")
+        ddl = (
+            schema
+            if isinstance(schema, str)
+            else ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        )
+        opts = {"sep": "\t" if fmt == "tsv" else ","}
+        opts.update(options or {})
+        parsed = F.from_csv(text, ddl, opts)
+        return df.select(*others, parsed.alias("_m")).select(*others, "_m.*")
+    if fmt == "json":
+        if schema is None:
+            raise ValueError("json decode requires a schema")
+        parsed = F.from_json(text, schema, options or {"mode": "PERMISSIVE"})
+        return df.select(*others, parsed.alias("_m")).select(*others, "_m.*")
+    if fmt == "avro":
+        try:
+            from pyspark.sql.avro.functions import from_avro
+        except ImportError as e:  # pragma: no cover - needs spark-avro jar
+            raise NotImplementedError(
+                "avro decode needs the spark-avro package on the classpath "
+                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>)"
+            ) from e
+        if not isinstance(schema, str):
+            raise ValueError("avro decode requires a JSON avro schema string")
+        parsed = from_avro(F.col("value"), schema, options or {})
+        return df.select(*others, parsed.alias("_m")).select(*others, "_m.*")
+    if fmt == "clf":
+        return df.select(*others, *_extract_fields(text, CLF_REGEX, CLF_FIELDS)).withColumn(
+            "content_length",
+            F.when(F.col("content_length").isNull(), None).otherwise(F.col("content_length")),
+        )
+    if fmt == "syslog":
+        return df.select(*others, *_extract_fields(text, SYSLOG_REGEX, SYSLOG_FIELDS))
+    if fmt == "grok":
+        if not grok_expr:
+            raise ValueError("grok decode requires grok_expr")
+        regex, names = grok_to_regex(grok_expr)
+        fields = [(n, T.StringType(), i + 1) for i, n in enumerate(names)]
+        return df.select(*others, *_extract_fields(text, regex, fields))
+    raise ValueError(f"unsupported format {fmt!r} (avro, binary, clf, csv, grok, json, syslog, text, tsv)")
+
+
+def decode_transcript_events(df: DataFrame) -> DataFrame:
+    """Decode transcript CDC JSON payloads from a Kafka-shaped frame into
+    CHANGE_EVENT columns — envelope from metadata, payload+op from value."""
+    from kafka_plugins_spark.schema import TRANSCRIPT
+
+    payload_schema = T.StructType(
+        list(TRANSCRIPT.fields) + [T.StructField("op", T.StringType(), False)]
+    )
+    parsed = F.from_json(F.col("value").cast("string"), payload_schema)
+    return df.select(
+        parsed.alias("_m"), F.col("partition"), F.col("offset")
+    ).select("_m.*", "partition", "offset")

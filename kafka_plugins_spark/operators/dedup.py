@@ -1,0 +1,193 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first shapes:
+
+- exact: one hash-groupBy (map-side partial agg, single shuffle).
+- n-gram Jaccard: shingle→explode→equi-join on shingle→count per pair.
+  The candidate join is the scale risk: a shingle shared by k docs emits
+  k² pairs, so ``max_shingle_freq`` drops degenerate ultra-common
+  shingles first (standard trick; exact under the "a duplicate pair
+  shares at least one non-degenerate shingle" assumption).
+- MinHash+LSH: the 100 TB path — per-doc fixed-size signature (one
+  groupBy), banding, equi-join on (band_id, band_key) buckets only.
+  Candidates are verified with true Jaccard so LSH can only *miss* pairs
+  (tunable), never emit false positives.
+- SimHash: per-doc 16-bit signature from word hashes; exact-collision
+  grouping. Hashes are hex-of-md5 so the DuckDB oracle reproduces them.
+
+All expressions are portable: md5 + string ops, no engine-private hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.operators.text import tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group rows by exact text hash; canonical id = min id per group."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, max_shingle_freq: int | None = None) -> DataFrame:
+    """All candidate pairs sharing ≥1 shingle, with exact Jaccard."""
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_f"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq).drop("_f")), "shingle"
+        )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold."""
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    return (
+        _pair_jaccard(sh)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """Fixed-width MinHash signature per doc: sig_i = min(md5(i || '|' || shingle)).
+
+    md5-hex min is an order statistic on a uniform permutation of the
+    shingle space — the textbook MinHash estimator, expressed portably.
+    One groupBy, num_hashes partial-min aggregates.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Docs agreeing on all rows of ≥1 band. Banded on (band_id, key) so a
+    single equi-join covers every band — no b-way union of joins."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(keys).alias("bk")).select(
+        "doc_id", "bk.band_id", "bk.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidates, verified with exact Jaccard ≥ threshold.
+
+    The scale path: signature groupBy + bucket equi-join touch O(docs)
+    rows; only verified candidates pay the shingle-intersection join.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    verified = _pair_jaccard(sh).join(cands, ["doc_a", "doc_b"], "left_semi")
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
+def word_hash16(col: Column) -> Column:
+    """Portable 16-bit word hash: first 4 hex chars of md5 as an int."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over word multiset (duplicate words count)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    h = word_hash16(F.col("w"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, k).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"s{k}")
+        for k in range(16)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for k in range(16):
+        bit = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(0)
+        sim = bit if sim is None else sim + bit
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of docs colliding on the full 16-bit SimHash."""
+    return (
+        simhash16(docs, text_col=text_col, id_col=id_col)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

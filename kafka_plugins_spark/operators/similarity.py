@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  candidate table; dot products are ``zip_with`` + ``aggregate`` fold —
+  pure JVM, codegen'd, no Python. This is the exactness baseline.
+- LSH-bucketed ANN: deterministic sign-random-projection buckets; the
+  query only joins its own bucket — the 100 TB path (bucket join is an
+  equi-join, prunes ~(1 - 1/2^planes) of candidates per probe).
+- kNN label vote: majority label of the top-k (classification via search).
+
+Hyperplanes are derived from md5 in plain Python, so they are identical
+across runs/engines without shipping state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_norm(v: Column) -> Column:
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_sq_norm(F.col(vec_col))))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic FP order, so the
+    DuckDB oracle (list_sum over list_transform) reproduces it exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(_sq_norm(a)) * F.sqrt(_sq_norm(b)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of every candidate for query ids < n_queries.
+
+    Plan shape: broadcast-nested-loop of |Q| queries × all candidates —
+    the candidate scan parallelizes perfectly; per-query top-k is a
+    window over ≤|candidates| rows. At cluster scale replace the window
+    with a per-partition partial top-k + final top-k if |Q| is large.
+    """
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from md5."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[:4]
+        out.append(int(h, 16) / 32768.0 - 1.0)
+    return out
+
+
+def lsh_bucket_expr(vec_col: str, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id in [0, 2^planes)."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
+        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 4,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: search the query's LSH bucket (+ multi-probe).
+
+    Multi-probe flips each sign bit once, so a query scans ``planes + 1``
+    of the ``2^planes`` buckets — the standard recall/latency dial.
+    Recall < 1 by construction; at scale the bucket column is a
+    partition/cluster key so each probe touches one bucket's files only.
+    """
+    bucketed = emb.withColumn("_bucket", lsh_bucket_expr(vec_col, dim, planes))
+    q = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_bucket"), *[F.col("_bucket").bitwiseXOR(1 << p) for p in range(planes)]
+        )
+        q = q.withColumn("_bucket", F.explode(probes))
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold (exact, all pairs).
+
+    O(n²) — correct baseline for modest n; the LSH bucket join above is
+    the scale path (bucket first, verify within bucket)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Predict each query's label by majority vote of its top-k neighbors
+    (tie → smallest label)."""
+    topk = brute_force_topk(emb, n_queries=n_queries, k=k, vec_col=vec_col, id_col=id_col)
+    labeled = topk.join(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(F.count("*").alias("n_votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("n_label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("n_label").alias("predicted_label"), "n_votes")
+    )

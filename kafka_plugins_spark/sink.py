@@ -1,0 +1,131 @@
+"""Producer-side semantics: serialization, keyed partitioning, alerts, DLQ.
+
+Reimagines the reference's sink stack (K1-K4 in SURVEY.md §2a):
+
+- K1 serialization: row → CSV or JSON. The reference joins values with
+  commas and NO quoting (``KafkaBatchSink.java:105-129``) — that form is
+  kept behind ``quoted=False`` for byte-compat, with a properly quoted
+  ``to_csv`` as the default.
+- K2 keyed partitioning: ``md5(key) % n`` (``StringPartitioner.java:34-38``)
+  with the reference's null-key contract: a null key in a keyed sink
+  fails the run (``KafkaBatchSink.java:117-127``). A salted variant
+  defuses hot keys, which the reference cannot.
+- K3 producer: the real sink is ``df.write.format("kafka")`` (options
+  below); offline, :func:`produce_to_log` writes the same keyed/offset
+  layout to parquet so round-trip tests run without a broker. Unlike the
+  reference's no-op committer (at-least-once,
+  ``KafkaOutputFormat.java:51-78``), the offline log write is atomic per
+  job — and the lake sink path is exactly-once via the snapshot fence.
+- K4 alerts: JSON side-channel with null key (round-robin), plus a
+  dead-letter splitter for undecodable records.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+NULL_KEY_ERROR = "Message Key field value in the record is null"
+
+
+def serialize_csv(df: DataFrame, quoted: bool = True) -> DataFrame:
+    """Row → single CSV string column ``value``."""
+    if quoted:
+        value = F.to_csv(F.struct(*df.columns))
+    else:
+        # reference-compatible: plain join, no quoting/escaping
+        value = F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
+    return df.select(value.alias("value"))
+
+
+def serialize_json(df: DataFrame) -> DataFrame:
+    """Row → single JSON string column ``value``."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def keyed_partition_expr(key_col: str, num_partitions: int) -> F.Column:
+    """``md5(key) % n`` — the reference's StringPartitioner, as an
+    expression. Null key throws at runtime, matching the reference."""
+    digest = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+    part = F.pmod(digest.cast("long"), F.lit(num_partitions)).cast("int")
+    return (
+        F.when(F.col(key_col).isNull(), F.raise_error(F.lit(NULL_KEY_ERROR)).cast("int"))
+        .otherwise(part)
+    )
+
+
+def salted_partition_expr(key_col: str, num_partitions: int, salt_buckets: int) -> F.Column:
+    """Skew-defusing variant: a hot key spreads over ``salt_buckets``
+    adjacent partitions instead of hammering one. Replaces the
+    reference's md5-mod with the north rule's salted repartition."""
+    base = keyed_partition_expr(key_col, num_partitions)
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    return F.pmod(base + salt, F.lit(num_partitions)).cast("int")
+
+
+def produce_to_log(
+    df: DataFrame,
+    path: str,
+    key_col: str | None = None,
+    num_partitions: int = 4,
+    fmt: str = "json",
+    quoted_csv: bool = True,
+) -> None:
+    """Offline topic emulation: serialize, assign partitions (keyed md5 or
+    round-robin), assign per-partition offsets, write parquet partitioned
+    by ``partition`` — the same on-disk shape datagen produces, so the
+    batch source can re-read what the sink wrote (round-trip tests)."""
+    key = F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
+    if key_col:
+        part = keyed_partition_expr(key_col, num_partitions)
+    else:
+        part = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_partitions)).cast("int")
+    value = (
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        if fmt == "json"
+        else (
+            F.to_csv(F.struct(*[F.col(c) for c in df.columns]))
+            if quoted_csv
+            else F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
+        )
+    )
+    out = df.select(key.alias("key"), value.alias("value"), part.alias("partition"))
+    w = Window.partitionBy("partition").orderBy(F.col("key").asc_nulls_first(), "value")
+    out = out.withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+    out.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(path)
+
+
+def kafka_sink_options(brokers: str, topic: str, async_mode: bool = False) -> dict[str, str]:
+    """Options for ``df.write.format("kafka")`` (production K3).
+
+    ``linger.ms=100`` batching and async⇒acks=1 mirror the reference's
+    producer defaults (``KafkaOutputFormat.java:112-133``)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "kafka.linger.ms": "100",
+        "kafka.acks": "1" if async_mode else "all",
+    }
+
+
+def publish_alerts(alerts: DataFrame, path: str) -> int:
+    """K4: alert side-channel — JSON-serialized, null key (round-robin).
+
+    Offline: appended to an ``_alerts`` log dir; returns rows published.
+    Per-record try/catch-and-continue in the reference degrades to
+    PERMISSIVE serialization here (to_json never throws)."""
+    out = serialize_json(alerts)
+    n = out.count()
+    out.write.mode("append").json(path)
+    return n
+
+
+def split_dead_letters(decoded: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Split records whose decode failed (all required fields null) into a
+    dead-letter frame. Returns (good, dead)."""
+    is_dead = None
+    for c in required:
+        cond = F.col(c).isNull()
+        is_dead = cond if is_dead is None else (is_dead & cond)
+    return decoded.filter(~is_dead), decoded.filter(is_dead)

@@ -1,0 +1,183 @@
+"""Decode formats (S6), sink serialization/partitioning (K1-K4), connector (C1)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+
+from kafka_plugins_spark.connector import LakeConnector
+from kafka_plugins_spark.functions.decode import (
+    decode_transcript_events,
+    decode_value,
+    grok_to_regex,
+    project_envelope,
+)
+from kafka_plugins_spark.sink import (
+    NULL_KEY_ERROR,
+    keyed_partition_expr,
+    produce_to_log,
+    publish_alerts,
+    serialize_csv,
+    serialize_json,
+    split_dead_letters,
+)
+
+
+def kafka_frame(spark, values, keys=None):
+    keys = keys or [None] * len(values)
+    rows = [
+        (k.encode() if k else None, v.encode(), "t", 0, i, None)
+        for i, (k, v) in enumerate(zip(keys, values))
+    ]
+    schema = "key binary, value binary, topic string, partition int, offset long, timestamp timestamp"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_envelope_projection(spark):
+    df = kafka_frame(spark, ["hello"])
+    out = project_envelope(df, key_field="k", partition_field="p", offset_field="o")
+    assert out.columns == ["k", "p", "o", "value"]
+
+
+def test_decode_binary_and_text(spark):
+    df = kafka_frame(spark, ["payload"])
+    assert decode_value(df, "binary").select("message").first()[0] == b"payload"
+    assert decode_value(df, "text").select("message").first()[0] == "payload"
+
+
+def test_decode_csv_tsv(spark):
+    df = kafka_frame(spark, ["a,1,2.5"])
+    out = decode_value(df, "csv", "x string, y int, z double")
+    r = out.select("x", "y", "z").first()
+    assert (r["x"], r["y"], r["z"]) == ("a", 1, 2.5)
+    df = kafka_frame(spark, ["a\t1"])
+    r = decode_value(df, "tsv", "x string, y int").select("x", "y").first()
+    assert (r["x"], r["y"]) == ("a", 1)
+
+
+def test_decode_json_permissive(spark):
+    df = kafka_frame(spark, ['{"x": "a", "y": 1}', "NOT JSON"])
+    out = decode_value(df, "json", T.StructType([
+        T.StructField("x", T.StringType()), T.StructField("y", T.IntegerType())
+    ]))
+    rows = out.orderBy("offset").select("x", "y").collect()
+    assert (rows[0]["x"], rows[0]["y"]) == ("a", 1)
+    assert rows[1]["x"] is None and rows[1]["y"] is None  # malformed → nulls, no crash
+
+
+def test_decode_clf(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    r = decode_value(kafka_frame(spark, [line]), "clf").first()
+    assert r["remote_host"] == "127.0.0.1"
+    assert r["auth_user"] == "frank"
+    assert r["request"] == "GET /apache_pb.gif HTTP/1.0"
+    assert r["status"] == 200 and r["content_length"] == 2326
+
+
+def test_decode_clf_dash_length(spark):
+    line = '10.0.0.1 - - [10/Oct/2000:13:55:36 -0700] "HEAD / HTTP/1.1" 304 -'
+    r = decode_value(kafka_frame(spark, [line]), "clf").first()
+    assert r["status"] == 304 and r["content_length"] is None
+
+
+def test_decode_syslog(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick"
+    r = decode_value(kafka_frame(spark, [line]), "syslog").first()
+    assert r["priority"] == 34 and r["host"] == "mymachine"
+    assert r["tag"] == "su" and r["pid"] == 230
+    assert r["message"].startswith("'su root' failed")
+
+
+def test_grok_compile_and_decode(spark):
+    regex, names = grok_to_regex("%{IP:client} %{WORD:method} %{NOTSPACE:path} %{INT:status}")
+    assert names == ["client", "method", "path", "status"]
+    line = "1.2.3.4 GET /index.html 200"
+    r = decode_value(kafka_frame(spark, [line]), "grok",
+                     grok_expr="%{IP:client} %{WORD:method} %{NOTSPACE:path} %{INT:status}").first()
+    assert (r["client"], r["method"], r["path"], r["status"]) == ("1.2.3.4", "GET", "/index.html", "200")
+
+
+def test_grok_unknown_pattern():
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        grok_to_regex("%{NOPE:x}")
+
+
+def test_decode_transcript_events_roundtrip(spark):
+    payload = {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",
+               "tool": None, "ts": "2025-01-01T00:00:00Z", "op": "I"}
+    df = kafka_frame(spark, [json.dumps(payload)])
+    r = decode_transcript_events(df).first()
+    assert r["conv_id"] == "c1" and r["op"] == "I" and r["offset"] == 0
+
+
+def test_serialize_roundtrip(spark):
+    df = spark.createDataFrame([("a", 1), ("b,x", 2)], "k string, v int")
+    js = serialize_json(df).collect()
+    assert json.loads(js[0]["value"]) == {"k": "a", "v": 1}
+    quoted = serialize_csv(df, quoted=True).orderBy("value").collect()
+    assert any('"b,x"' in r["value"] for r in quoted)  # proper quoting
+    raw = serialize_csv(df, quoted=False).collect()
+    assert any(r["value"] == "b,x,2" for r in raw)  # reference-compatible: none
+
+
+def test_keyed_partition_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    parts = df.select(keyed_partition_expr("k", 7).alias("p")).collect()
+    assert all(0 <= r["p"] < 7 for r in parts)
+    again = df.select(keyed_partition_expr("k", 7).alias("p")).collect()
+    assert [r["p"] for r in parts] == [r["p"] for r in again]
+
+
+def test_null_key_in_keyed_sink_fails(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    with pytest.raises(Exception, match=NULL_KEY_ERROR):
+        df.select(keyed_partition_expr("k", 4)).collect()
+
+
+def test_produce_to_log_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("c1", "hello"), ("c2", "world"), ("c1", "again")],
+                               "conv_id string, text string")
+    out = str(tmp_path / "topic")
+    produce_to_log(df, out, key_col="conv_id", num_partitions=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # keyed: same key → same partition
+    assert back.filter(F.col("key") == "c1").select("partition").distinct().count() == 1
+    # offsets contiguous from 0 per partition
+    stats = back.groupBy("partition").agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"),
+                                          F.count("*").alias("n")).collect()
+    for r in stats:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+    # payload survives
+    texts = {json.loads(r["value"])["text"] for r in back.collect()}
+    assert texts == {"hello", "world", "again"}
+
+
+def test_alerts_and_dead_letters(spark, tmp_path):
+    decoded = spark.createDataFrame(
+        [("c1", "ok"), (None, None)], "conv_id string, text string"
+    )
+    good, dead = split_dead_letters(decoded, ["conv_id", "text"])
+    assert good.count() == 1 and dead.count() == 1
+    n = publish_alerts(dead.select(F.lit("decode_failure").alias("alert"), "conv_id"),
+                       str(tmp_path / "alerts"))
+    assert n == 1
+    back = spark.read.json(str(tmp_path / "alerts"))
+    assert json.loads(back.first()["value"])["alert"] == "decode_failure"
+
+
+def test_connector_browse_and_sample(spark, events_path, tmp_path):
+    from kafka_plugins_spark.replay import replay
+
+    wh = tmp_path / "warehouse"
+    replay(spark, events_path, str(wh / "transcripts"))
+    c = LakeConnector(spark, str(wh))
+    assert c.test()
+    ents = c.browse()
+    assert [e.name for e in ents] == ["transcripts"]
+    assert ents[0].snapshot_id == 0 and ents[0].rows_applied > 0
+    sample = c.sample("transcripts", limit=5)
+    assert sample.count() == 5
+    assert LakeConnector(spark, str(tmp_path / "missing")).test() is False

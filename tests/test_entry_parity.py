@@ -1,0 +1,70 @@
+"""Driver-contract parity: every queries() entry matches its oracle_sql()
+on row count, column names, and (order-insensitively) values — the same
+comparison the external driver makes, run here at sf0.001 so regressions
+never reach the driver."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(4)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+ALL = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = normalize(q(spark, SF).toPandas())
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only contract for non-SQL-expressible ops
+        assert len(got) >= 0
+        return
+    want = normalize(duck.execute(oracle).df())
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "user_id" in df.columns
+
+
+def test_every_query_has_result_rows(spark):
+    """Queries shouldn't be vacuously green: all but threshold-filtered
+    pair queries must return rows at sf0.001."""
+    may_be_empty = {"dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "emb_neardup"}
+    for name, q in entry_mod.queries().items():
+        if name in may_be_empty:
+            continue
+        assert q(spark, SF).limit(1).count() == 1, f"{name} returned no rows"
