@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--events", required=True)
     rp.add_argument("--table", required=True)
     rp.add_argument("--chunk-size", type=int, default=None)
-    rp.add_argument("--salt-buckets", type=int, default=8)
+    rp.add_argument("--salt-buckets", type=int, default=0)
     rp.add_argument("--cores", type=int, default=None)
 
     st = sub.add_parser("stream")
@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--watermark", default="24 hours")
     st.add_argument("--no-dedup", action="store_true")
-    st.add_argument("--salt-buckets", type=int, default=8)
+    st.add_argument("--salt-buckets", type=int, default=0)
     st.add_argument("--cores", type=int, default=None)
 
     dg = sub.add_parser("datagen")
@@ -64,14 +64,14 @@ def main(argv: list[str] | None = None) -> int:
         IngestConfig(
             events_path=args.events,
             table_path=args.table,
-            salt_buckets=args.salt_buckets,
+            salt_buckets=args.salt_buckets or 1,
             chunk_size=args.chunk_size,
         ).validate()
         spark = get_spark("cdc-replay", cores=args.cores)
         from kafka_plugins_spark.replay import replay
 
         table, results = replay(
-            spark, args.events, args.table, chunk_size=args.chunk_size, salt_buckets=args.salt_buckets
+            spark, args.events, args.table, chunk_size=args.chunk_size, salt_buckets=args.salt_buckets or None
         )
         applied = sum(1 for r in results if not r.skipped)
         rows = sum(r.rows_applied for r in results)
@@ -102,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             file_event_source(spark, args.events, schema),
             args.table,
             args.checkpoint,
-            salt_buckets=args.salt_buckets,
+            salt_buckets=args.salt_buckets or None,
             watermark_delay=args.watermark,
             dedup=not args.no_dedup,
         )

@@ -168,6 +168,22 @@ def generate_events(
     return base.select(*out_cols)
 
 
+def write_wire_events(df: DataFrame, path: str) -> None:
+    """Write the event log in Kafka wire shape: ``(key binary, value
+    binary(JSON payload+op), partition, offset)`` — what the broker
+    actually hands the engine. The bench replays THIS (decode included),
+    so the measured pipeline matches the reference's decode-then-emit
+    path (``KafkaStreamingSourceUtil.java:327-342``)."""
+    payload_cols = [c for c in df.columns if c not in ("partition", "offset")]
+    out = df.select(
+        F.col("conv_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*payload_cols)).cast("binary").alias("value"),
+        "partition",
+        "offset",
+    )
+    out.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(path)
+
+
 def write_events(
     df: DataFrame,
     path: str,

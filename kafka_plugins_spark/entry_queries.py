@@ -334,16 +334,15 @@ def q_doc_stats(spark, sf):
 
 
 def q_doc_quality(spark, sf):
-    d = _t(spark, sf, "documents")
-    m = tx.quality_metrics(F.col("text"))
+    d = tx.with_quality_metrics(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        m["alpha_ratio"].alias("alpha_ratio"),
-        m["punct_ratio"].alias("punct_ratio"),
-        m["stopword_ratio"].alias("stopword_ratio"),
-        m["mean_word_len"].alias("mean_word_len"),
-        m["quality_score"].alias("quality_score"),
+        "n_tokens",
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
     )
 
 
@@ -358,6 +357,11 @@ def q_doc_lang_id(spark, sf):
         s["fr"].alias("score_fr"),
         tx.lang_id(F.col("text")).alias("lang_pred"),
     )
+
+
+def q_doc_winnow(spark, sf):
+    """Winnowing fingerprints (rolling k-gram hash + window min)."""
+    return tx.winnowing_fingerprints(_t(spark, sf, "documents"), k=8, window=4)
 
 
 _WORDS_CTE = """
@@ -380,14 +384,34 @@ shingles AS (
 """
 )
 
-_STOP_EN = "\\b(" + "|".join(tx.LANG_STOPWORDS["en"]) + ")\\b"
+_STOP_EN_LIST = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
 
 
-def _lang_pat(lang: str) -> str:
-    return "\\b(" + "|".join(tx.LANG_STOPWORDS[lang]) + ")\\b"
+def _lang_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang])
 
 
 TEXT_ORACLES = {
+    "doc_winnow": """
+        WITH normd AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+            FROM documents),
+        posd AS (
+            SELECT doc_id, norm,
+                   unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS pos
+            FROM normd),
+        g AS (SELECT doc_id, pos, md5(substr(norm, pos, 8)) AS h FROM posd),
+        mx AS (SELECT doc_id, max(pos) AS mp FROM g GROUP BY doc_id),
+        wmin AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g)
+        SELECT DISTINCT w.doc_id, w.fp
+        FROM wmin w JOIN mx ON w.doc_id = mx.doc_id
+        WHERE w.pos <= mx.mp - 3
+    """,
     "doc_stats": f"""
         WITH {_WORDS_CTE}
         SELECT d.doc_id,
@@ -400,14 +424,15 @@ TEXT_ORACLES = {
         FROM documents d JOIN words w ON d.doc_id = w.doc_id
     """,
     "doc_quality": f"""
-        WITH base AS (
-            SELECT doc_id,
-                   length(text)::BIGINT AS n_chars,
-                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
-                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct,
-                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens,
-                   len(regexp_extract_all(lower(text), '{_STOP_EN}'))::BIGINT AS n_stop
-            FROM documents)
+        WITH {_WORDS_CTE},
+        base AS (
+            SELECT d.doc_id,
+                   length(d.text)::BIGINT AS n_chars,
+                   length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+                   length(regexp_replace(d.text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct,
+                   len(w.w)::BIGINT AS n_tokens,
+                   len(list_filter(w.w, x -> x IN ({_STOP_EN_LIST})))::BIGINT AS n_stop
+            FROM documents d JOIN words w ON d.doc_id = w.doc_id)
         SELECT doc_id, n_tokens,
                round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio,
                round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
@@ -421,13 +446,14 @@ TEXT_ORACLES = {
         FROM base
     """,
     "doc_lang_id": f"""
-        WITH s AS (
-            SELECT doc_id, text,
-                   len(regexp_extract_all(lower(text), '{_lang_pat("en")}'))::BIGINT AS score_en,
-                   len(regexp_extract_all(lower(text), '{_lang_pat("es")}'))::BIGINT AS score_es,
-                   len(regexp_extract_all(lower(text), '{_lang_pat("de")}'))::BIGINT AS score_de,
-                   len(regexp_extract_all(lower(text), '{_lang_pat("fr")}'))::BIGINT AS score_fr
-            FROM documents)
+        WITH {_WORDS_CTE},
+        s AS (
+            SELECT d.doc_id, d.text,
+                   len(list_filter(w.w, x -> x IN ({_lang_list("en")})))::BIGINT AS score_en,
+                   len(list_filter(w.w, x -> x IN ({_lang_list("es")})))::BIGINT AS score_es,
+                   len(list_filter(w.w, x -> x IN ({_lang_list("de")})))::BIGINT AS score_de,
+                   len(list_filter(w.w, x -> x IN ({_lang_list("fr")})))::BIGINT AS score_fr
+            FROM documents d JOIN words w ON d.doc_id = w.doc_id)
         SELECT doc_id, score_en, score_es, score_de, score_fr,
                CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
                     WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
@@ -622,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": q_doc_stats,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
+    "doc_winnow": q_doc_winnow,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -27,13 +27,15 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark import StorageLevel
 
 from kafka_plugins_spark.schema import (
     ENVELOPE_COLUMNS,
@@ -54,6 +56,51 @@ class CommitResult:
     rows_applied: int = 0
     ranges: dict[int, tuple[int, int]] = field(default_factory=dict)
     wall_ms: int = 0
+
+
+def _merge_intervals(iv: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Merge overlapping/adjacent [start, end) intervals."""
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(iv):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _interval_covered(s: int, e: int, iv: list[tuple[int, int]]) -> bool:
+    """Is [s, e) fully inside the delivered interval set?"""
+    return any(a <= s and e <= b for a, b in iv)
+
+
+def _clip_start(lo: int, iv: list[tuple[int, int]]) -> int:
+    """Advance lo past any delivered interval containing it."""
+    for a, b in iv:
+        if a <= lo < b:
+            lo = b
+    return lo
+
+
+def _delivered_filter_expr(delivered: dict[int, list[tuple[int, int]]]):
+    """Column expr matching rows inside any delivered interval (to drop)."""
+    expr = None
+    for p, iv in delivered.items():
+        for s, e in iv:
+            cond = (F.col("partition") == p) & (F.col("offset") >= s) & (F.col("offset") < e)
+            expr = cond if expr is None else (expr | cond)
+    return expr
+
+
+SYSTEM_FIELDS = [
+    T.StructField("_op", T.StringType(), True),
+    T.StructField("_partition", T.IntegerType(), True),
+    T.StructField("_offset", T.LongType(), True),
+]
+
+
+def _with_system_columns(payload: T.StructType) -> T.StructType:
+    return T.StructType(list(payload.fields) + SYSTEM_FIELDS)
 
 
 def compute_ranges(events: DataFrame) -> dict[int, tuple[int, int]]:
@@ -95,11 +142,28 @@ class ParquetSnapshotTable:
         return out
 
     def watermarks(self) -> dict[int, int]:
-        """partition → next offset to apply (exclusive end of committed)."""
+        """partition → exclusive end of the highest committed offset."""
         snap = self.current_snapshot()
         if snap is None:
             return {}
         return {int(k): int(v) for k, v in snap["watermarks"].items()}
+
+    def delivered_ranges(self) -> dict[int, list[tuple[int, int]]]:
+        """partition → merged, sorted [start, end) intervals already
+        committed. An interval set (not a single high watermark) keeps the
+        fence sound even when batches arrive out of per-partition offset
+        order — Kafka delivers in order (one interval), but file drops and
+        backfills may not; a high-watermark fence would silently DROP a
+        late lower range as "already seen"."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return {}
+        if "delivered" in snap:
+            return {
+                int(k): [(int(a), int(b)) for a, b in iv]
+                for k, iv in snap["delivered"].items()
+            }
+        return {int(k): [(0, int(v))] for k, v in snap["watermarks"].items()}
 
     def table_schema(self) -> T.StructType:
         snap = self.current_snapshot()
@@ -108,10 +172,24 @@ class ParquetSnapshotTable:
         return T.StructType.fromJson(json.loads(snap["schema"]))
 
     def read(self) -> DataFrame:
+        """Visible table: tombstones filtered, system columns hidden."""
         snap = self.current_snapshot()
         if snap is None or snap.get("data_path") is None:
             return self.spark.createDataFrame([], self.base_schema)
-        return self.spark.read.schema(self.table_schema()).parquet(snap["data_path"])
+        payload = [f.name for f in self.table_schema().fields]
+        return (
+            self._read_full()
+            .filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
+            .select(*payload)
+        )
+
+    def _read_full(self) -> DataFrame:
+        """Stored rows incl. tombstones + system columns (merge input)."""
+        snap = self.current_snapshot()
+        stored = _with_system_columns(self.table_schema())
+        if snap is None or snap.get("data_path") is None:
+            return self.spark.createDataFrame([], stored)
+        return self.spark.read.schema(stored).parquet(snap["data_path"])
 
     def read_lineage(self) -> DataFrame:
         d = os.path.join(self.path, LINEAGE_DIR)
@@ -128,81 +206,138 @@ class ParquetSnapshotTable:
     ) -> CommitResult:
         """Apply LWW winners (payload + op/partition/offset) atomically.
 
-        Fence: rows whose offset precedes the committed watermark of their
-        partition were applied by an earlier commit — dropped here, which
-        makes any replay (full or partial overlap) idempotent. Fencing
-        post-reduce is sound because a committed watermark means the table
-        already reflects *every* event below it.
+        Fence: rows inside any already-delivered ``[start, end)`` interval
+        of their partition were applied by an earlier commit — dropped
+        here, which makes any replay (full or partial overlap) idempotent
+        even under out-of-order batch delivery. Fencing post-reduce is
+        sound because a committed interval means the table already
+        reflects *every* event inside it.
         """
         t0 = time.monotonic()
         if ranges is None:
             ranges = compute_ranges(winners)
 
-        wm = self.watermarks()
+        delivered = self.delivered_ranges()
         fully_covered = ranges and all(
-            end <= wm.get(p, 0) for p, (_, end) in ranges.items()
+            _interval_covered(s, e, delivered.get(p, []))
+            for p, (s, e) in ranges.items()
         )
         if fully_covered:
             return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
 
         fresh = winners
-        if wm:
-            wm_expr = F.create_map(
-                *[x for p, nxt in wm.items() for x in (F.lit(p), F.lit(nxt))]
-            )
-            fresh = winners.filter(
-                F.col("offset") >= F.coalesce(wm_expr[F.col("partition")], F.lit(0))
-            )
-        fresh = fresh.cache()
+        drop = _delivered_filter_expr(delivered)
+        if drop is not None:
+            fresh = winners.filter(~drop)
+        snap_before = self.current_snapshot()
+        # Initial load with known ranges runs SINGLE-PASS: per-partition
+        # stats ride along the write via Observation, so the winner set is
+        # computed exactly once (no persist materialization, no stats job
+        # — two fewer stage barriers on the hot backfill path). Incremental
+        # merges reference `fresh` twice (upserts + changed keys), so they
+        # persist it; serialized level because a big backfill's winner set
+        # can exceed what deserialized on-heap caching tolerates alongside
+        # running tasks (observed OOM at 8.6M wide rows / 16g heap).
+        single_pass = snap_before is None and bool(ranges)
+        observation = None
+        obs_parts: list[int] = []
+        if single_pass:
+            observation = Observation()
+            obs_parts = sorted(ranges)
+            exprs = []
+            for p in obs_parts:
+                cond = F.col("partition") == p
+                exprs += [
+                    F.count(F.when(cond, True)).alias(f"n_{p}"),
+                    F.min(F.when(cond, F.col("offset"))).alias(f"lo_{p}"),
+                    F.max(F.when(cond, F.col("offset"))).alias(f"hi_{p}"),
+                ]
+            fresh = fresh.observe(observation, *exprs)
+        else:
+            fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            per_part = {
-                int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
-                for r in fresh.groupBy("partition")
-                .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"), F.count("*").alias("n"))
-                .collect()
-            }
-            if not per_part:
-                return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
-            if ranges:
-                # lineage/watermarks track the RAW consumed range (clipped at
-                # the fence), not the narrower post-reduce winners' range
+            per_part: dict[int, tuple[int, int, int]] | None = None
+            if not single_pass:
                 per_part = {
-                    p: (
-                        max(ranges[p][0], wm.get(p, 0)) if p in ranges else lo,
-                        max(end, ranges[p][1]) if p in ranges else end,
-                        n,
-                    )
-                    for p, (lo, end, n) in per_part.items()
+                    int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
+                    for r in fresh.groupBy("partition")
+                    .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"), F.count("*").alias("n"))
+                    .collect()
                 }
+                if not per_part:
+                    return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+                per_part = self._clip_ranges(per_part, ranges, delivered)
 
-            table = self.read()
             incoming_payload = T.StructType(
                 [f for f in fresh.schema.fields if f.name not in ENVELOPE_COLUMNS]
             )
             new_schema = merge_schemas(self.table_schema(), incoming_payload)
-
             payload_cols = [f.name for f in new_schema.fields]
-            upserts = fresh.filter(F.col("op") != "D").select(
-                *[c for c in payload_cols if c in fresh.columns]
-            )
-            changed_keys = fresh.select(*KEY_COLUMNS)
 
-            # CoW merge: drop every changed key from the current table, then
-            # re-insert the upsert rows. The changed-key side of the
-            # anti-join is one row per key per micro-batch — broadcast it.
-            merged = table.join(F.broadcast(changed_keys), KEY_COLUMNS, "left_anti").unionByName(
-                upserts, allowMissingColumns=True
+            # Rows are stored WITH system columns (_op/_partition/_offset)
+            # and tombstones are RETAINED (read() hides them): that is what
+            # lets a later out-of-order batch resolve against stored state,
+            # and what keeps a lower-offset re-insert from resurrecting a
+            # deleted key. compact() drops tombstones once safe.
+            batch_rows = fresh.withColumnsRenamed(
+                {"op": "_op", "partition": "_partition", "offset": "_offset"}
             )
+
+            if snap_before is None:
+                # initial load: nothing to merge against — pure write
+                merged = batch_rows
+            else:
+                in_order = all(
+                    not delivered.get(p) or lo >= delivered[p][-1][1]
+                    for p, (lo, _) in ranges.items()
+                )
+                table_full = self._read_full()
+                if in_order:
+                    # fast path (the Kafka case): every batch winner is
+                    # strictly newer than any stored row of its key — drop
+                    # changed keys, append batch winners. No broadcast
+                    # hint: AQE sees the key-set size at runtime and picks
+                    # broadcast for micro-batches, shuffle for backfills.
+                    changed_keys = batch_rows.select(*KEY_COLUMNS)
+                    merged = table_full.join(
+                        changed_keys, KEY_COLUMNS, "left_anti"
+                    ).unionByName(batch_rows, allowMissingColumns=True)
+                else:
+                    # out-of-order batch: re-resolve LWW over stored rows ∪
+                    # batch winners — max offset per key wins regardless of
+                    # arrival order (offsets of a key live in one partition)
+                    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+                    combined = table_full.withColumnsRenamed(
+                        {"_op": "op", "_partition": "partition", "_offset": "offset"}
+                    ).unionByName(fresh, allowMissingColumns=True)
+                    merged = last_writer_wins(combined).withColumnsRenamed(
+                        {"op": "_op", "partition": "_partition", "offset": "_offset"}
+                    )
+            stored_schema = _with_system_columns(new_schema)
             merged = merged.select(
                 *[
-                    F.col(c) if c in merged.columns else F.lit(None).cast(new_schema[c].dataType).alias(c)
-                    for c in payload_cols
+                    F.col(f.name) if f.name in merged.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in stored_schema.fields
                 ]
             )
 
-            snap_id = (self.current_snapshot() or {"snapshot_id": -1})["snapshot_id"] + 1
+            snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1
             data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
             merged.write.mode("overwrite").parquet(data_path)
+
+            if single_pass:
+                vals = observation.get
+                per_part = {
+                    p: (int(vals[f"lo_{p}"]), int(vals[f"hi_{p}"]) + 1, int(vals[f"n_{p}"]))
+                    for p in obs_parts
+                    if vals[f"n_{p}"]
+                }
+                if not per_part:
+                    shutil.rmtree(data_path, ignore_errors=True)
+                    return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+                per_part = self._clip_ranges(per_part, ranges, delivered)
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             eff_ranges = {p: (lo, end) for p, (lo, end, _) in per_part.items()}
@@ -215,14 +350,20 @@ class ParquetSnapshotTable:
                 "append"
             ).parquet(os.path.join(self.path, LINEAGE_DIR))
 
-            new_wm = dict(wm)
-            for p, (_, end, _) in per_part.items():
-                new_wm[p] = max(new_wm.get(p, 0), end)
+            new_delivered = {p: list(iv) for p, iv in delivered.items()}
+            for p, (lo, end, _) in per_part.items():
+                new_delivered[p] = _merge_intervals(
+                    new_delivered.get(p, []) + [(min(lo, ranges.get(p, (lo, end))[0]), end)]
+                )
+            new_wm = {p: iv[-1][1] for p, iv in new_delivered.items()}
             snapshot = {
                 "snapshot_id": snap_id,
                 "batch_id": int(batch_id),
                 "data_path": data_path,
                 "watermarks": {str(k): v for k, v in sorted(new_wm.items())},
+                "delivered": {
+                    str(k): [[a, b] for a, b in iv] for k, iv in sorted(new_delivered.items())
+                },
                 "schema": json.dumps(new_schema.jsonValue()),
                 "lineage": [
                     {"partition": p, "start_offset": lo, "end_offset": end, "rows": n}
@@ -240,7 +381,58 @@ class ParquetSnapshotTable:
                 wall_ms=wall_ms,
             )
         finally:
-            fresh.unpersist()
+            if not single_pass:
+                fresh.unpersist()
+
+    @staticmethod
+    def _clip_ranges(
+        per_part: dict[int, tuple[int, int, int]],
+        ranges: dict[int, tuple[int, int]] | None,
+        delivered: dict[int, list[tuple[int, int]]],
+    ) -> dict[int, tuple[int, int, int]]:
+        """Lineage tracks the RAW consumed range (its start clipped past
+        any already-delivered prefix), not the narrower post-reduce
+        winners' range."""
+        if not ranges:
+            return per_part
+        out = {}
+        for p, (lo, end, n) in per_part.items():
+            if p in ranges:
+                raw_lo, raw_end = ranges[p]
+                lo = _clip_start(raw_lo, delivered.get(p, []))
+                end = max(end, raw_end)
+            out[p] = (lo, end, n)
+        return out
+
+    def compact(self) -> CommitResult:
+        """Rewrite the current snapshot without tombstone rows.
+
+        Safe once no batch below the per-partition high watermark can
+        still arrive (always true for in-order sources like Kafka; for
+        out-of-order backfills, run after the delivered intervals are
+        contiguous). Keeps watermarks/delivered/schema unchanged.
+        """
+        t0 = time.monotonic()
+        snap = self.current_snapshot()
+        if snap is None:
+            return CommitResult(skipped=True)
+        compacted = self._read_full().filter(
+            F.coalesce(F.col("_op") != "D", F.lit(True))
+        )
+        snap_id = snap["snapshot_id"] + 1
+        data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+        compacted.write.mode("overwrite").parquet(data_path)
+        new_snap = dict(snap)
+        new_snap.update(
+            snapshot_id=snap_id,
+            data_path=data_path,
+            lineage=[],
+            rows_applied=0,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            compaction=True,
+        )
+        self._commit(snap_id, new_snap)
+        return CommitResult(skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"])
 
     def _commit(self, snap_id: int, snapshot: dict) -> None:
         """Atomic publish: temp file + rename (POSIX rename is atomic)."""
@@ -274,19 +466,37 @@ class IcebergMergeBackend:
     def __init__(self, table_identifier: str):
         self.table = table_identifier
 
-    def build_merge_sql(self, updates_view: str, payload_columns: list[str] | None = None) -> str:
+    def build_merge_sql(
+        self,
+        updates_view: str,
+        payload_columns: list[str] | None = None,
+        order_guard: bool = True,
+    ) -> str:
+        """MERGE with last-writer-wins guards.
+
+        ``order_guard=True`` (default) compares the incoming offset with
+        the stored ``_offset`` system column, so a replayed or
+        out-of-order batch can never overwrite newer data — the Iceberg
+        rendition of the sandbox backend's order-aware merge. The target
+        table carries ``_op/_partition/_offset`` system columns (hidden by
+        consumer views), and tombstones are soft (op='D' updates _op; a
+        scheduled compaction deletes them), matching ParquetSnapshotTable.
+        """
         cols = payload_columns or [f.name for f in TRANSCRIPT.fields]
         on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLUMNS)
-        set_clause = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in KEY_COLUMNS)
-        insert_cols = ", ".join(cols)
-        insert_vals = ", ".join(f"s.{c}" for c in cols)
+        guard = " AND s.offset > t._offset" if order_guard else ""
+        sys_sets = "t._op = s.op, t._partition = s.partition, t._offset = s.offset"
+        set_clause = ", ".join(
+            [f"t.{c} = s.{c}" for c in cols if c not in KEY_COLUMNS] + [sys_sets]
+        )
+        insert_cols = ", ".join([*cols, "_op", "_partition", "_offset"])
+        insert_vals = ", ".join([f"s.{c}" for c in cols] + ["s.op", "s.partition", "s.offset"])
         return (
             f"MERGE INTO {self.table} t\n"
             f"USING {updates_view} s\n"
             f"ON {on}\n"
-            f"WHEN MATCHED AND s.op = 'D' THEN DELETE\n"
-            f"WHEN MATCHED THEN UPDATE SET {set_clause}\n"
-            f"WHEN NOT MATCHED AND s.op != 'D' THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+            f"WHEN MATCHED{guard} THEN UPDATE SET {set_clause}\n"
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
         )
 
     def merge_into(self, spark: SparkSession, winners: DataFrame, batch_id: int) -> None:

@@ -40,11 +40,7 @@ def dedup_events(events: DataFrame) -> DataFrame:
     return events.dropDuplicates(DEDUP_KEY)
 
 
-def _payload_columns(events: DataFrame) -> list[str]:
-    return [c for c in events.columns if c not in ENVELOPE_COLUMNS and c not in KEY_COLUMNS]
-
-
-def last_writer_wins(events: DataFrame, salt_buckets: int | None = 8) -> DataFrame:
+def last_writer_wins(events: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Per ``(conv_id, turn_idx)`` keep the event with max offset.
 
     Returns one row per key with the winning payload + ``op`` +
@@ -52,9 +48,18 @@ def last_writer_wins(events: DataFrame, salt_buckets: int | None = 8) -> DataFra
     tied winners are identical rows), so this subsumes ``dedup_events``
     for batch replay.
 
-    ``salt_buckets``: two-phase reduce — phase 1 groups by
+    ``salt_buckets``: explicit two-phase reduce — phase 1 groups by
     ``(key, xxhash64(offset) % k)`` so one hot key occupies k reducers,
     phase 2 reduces the ≤k partials per key. ``None`` → single-phase.
+
+    Default is single-phase ON PURPOSE: ``max_by`` is a declarative
+    aggregate, so Catalyst already runs a map-side partial reduce — a hot
+    key collapses to one row per map task *before* the shuffle, which is
+    the same defense salting buys, without the second shuffle. Measured
+    at sf0.1 (3.1M wide rows, local[32]): single-phase 6.7s vs salted
+    30.1s. Reach for ``salt_buckets`` when the aggregate is NOT
+    partially-reducible (collect_list-style payloads, window-function
+    LWW) or when one *map partition* is itself a single hot key.
     """
     val_cols = [c for c in events.columns if c not in KEY_COLUMNS]
     payload = F.struct(*[F.col(c) for c in val_cols]).alias("_w")
@@ -73,7 +78,7 @@ def last_writer_wins(events: DataFrame, salt_buckets: int | None = 8) -> DataFra
     return winners.select(*KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in val_cols])
 
 
-def final_state(events: DataFrame, salt_buckets: int | None = 8) -> DataFrame:
+def final_state(events: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Converged table: LWW winners whose last op is not a delete."""
     winners = last_writer_wins(events, salt_buckets=salt_buckets)
     payload = [c for c in events.columns if c not in ENVELOPE_COLUMNS]

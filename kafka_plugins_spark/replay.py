@@ -27,9 +27,10 @@ def replay(
     events_path: str,
     table_path: str,
     chunk_size: int | None = None,
-    salt_buckets: int | None = 8,
+    salt_buckets: int | None = None,
     merge_schema: bool = False,
     max_chunks: int | None = None,
+    wire: bool = False,
 ) -> tuple[ParquetSnapshotTable, list[CommitResult]]:
     """Replay the event log into the lake table.
 
@@ -37,9 +38,15 @@ def replay(
     offsets ``[i*chunk_size, (i+1)*chunk_size)`` in every partition.
     ``max_chunks`` stops early (the resume tests run the first half, then
     call replay again to finish — the fence skips committed chunks).
+    ``wire=True`` treats the log as Kafka wire shape (binary JSON values)
+    and decodes payloads first — the full ingest path incl. S6 decode.
     """
+    from kafka_plugins_spark.functions.decode import decode_transcript_events
+
     table = ParquetSnapshotTable(spark, table_path)
     events = scan_events(spark, events_path, merge_schema=merge_schema)
+    if wire:
+        events = decode_transcript_events(events)
     results: list[CommitResult] = []
 
     if chunk_size is None:
@@ -64,6 +71,8 @@ def replay(
         if not ranges:
             continue
         chunk = scan_events(spark, events_path, ranges=ranges, merge_schema=merge_schema)
+        if wire:
+            chunk = decode_transcript_events(chunk)
         winners = last_writer_wins(chunk, salt_buckets=salt_buckets)
         results.append(table.merge_into(winners, batch_id=i, ranges=ranges))
     return table, results

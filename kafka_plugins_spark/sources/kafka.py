@@ -91,6 +91,26 @@ def max_offsets_per_trigger(
     return max(1, int(max_rate_per_partition * n_partitions * trigger_interval_sec))
 
 
+def kerberos_jaas_config(principal: str, keytab: str) -> dict[str, str]:
+    """SASL/GSSAPI options for a kerberized cluster (V2).
+
+    Mirrors the reference's JAAS string injection
+    (``KafkaHelpers.java:99-116``); principal+keytab must come as a pair
+    (enforced by config validation, ``KafkaHelpers.java:124-149``).
+    """
+    jaas = (
+        "com.sun.security.auth.module.Krb5LoginModule required "
+        "useKeyTab=true storeKey=true "
+        f'keyTab="{keytab}" principal="{principal}";'
+    )
+    return {
+        "kafka.security.protocol": "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism": "GSSAPI",
+        "kafka.sasl.kerberos.service.name": "kafka",
+        "kafka.sasl.jaas.config": jaas,
+    }
+
+
 def kafka_stream_options(
     brokers: str,
     topic: str,

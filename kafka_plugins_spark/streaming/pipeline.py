@@ -66,7 +66,7 @@ def start_ingest_stream(
     source: DataFrame,
     table_path: str,
     checkpoint_path: str,
-    salt_buckets: int | None = 8,
+    salt_buckets: int | None = None,
     watermark_delay: str = "1 hour",
     dedup: bool = True,
     available_now: bool = True,

@@ -72,3 +72,12 @@ def test_stream_options_subscribe_vs_assign():
     o = kafka_stream_options("b:9092", "topic", partitions=[0, 1], n_partitions=2)
     assert "subscribe" not in o and json.loads(o["assign"]) == {"topic": [0, 1]}
     assert o["failOnDataLoss"] == "true"
+
+
+def test_kerberos_jaas_config():
+    from kafka_plugins_spark.sources.kafka import kerberos_jaas_config
+
+    opts = kerberos_jaas_config("svc/host@REALM", "/etc/sec.keytab")
+    assert opts["kafka.sasl.mechanism"] == "GSSAPI"
+    jaas = opts["kafka.sasl.jaas.config"]
+    assert 'principal="svc/host@REALM"' in jaas and 'keyTab="/etc/sec.keytab"' in jaas

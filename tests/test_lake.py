@@ -113,6 +113,11 @@ def test_iceberg_merge_sql():
     assert "MERGE INTO lake.db.transcripts t" in sql
     assert "USING updates_v s" in sql
     assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
-    assert "WHEN MATCHED AND s.op = 'D' THEN DELETE" in sql
-    assert "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT" in sql
+    # LWW order guard: replays / out-of-order batches can't clobber newer rows
+    assert "WHEN MATCHED AND s.offset > t._offset THEN UPDATE SET" in sql
+    assert "t._op = s.op" in sql and "t._offset = s.offset" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
     assert "t.text = s.text" in sql
+    # guard can be disabled for strictly-ordered sources
+    plain = IcebergMergeBackend("x").build_merge_sql("v", order_guard=False)
+    assert "WHEN MATCHED THEN UPDATE" in plain

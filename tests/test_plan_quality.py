@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests pin the plan shapes that matter at scale: pushdown reaches
+the parquet scan, small dims broadcast, the LWW reduce is partial-agg +
+one shuffle, and nothing row-wise Python sneaks into hot paths.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.entry_queries import (
+    q_cdc_lww,
+    q_nation_volume,
+    q_pricing_summary,
+)
+from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    df = q_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns in the scan output
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) == 7
+    # AQE shows codegen spans only in the final plan of an executed
+    # QueryExecution (write() clones it, so act on the df itself)
+    df.collect()
+    final = plan_of(df)
+    # "*(N)" prefixes mark WholeStageCodegen spans in toString form
+    assert "isFinalPlan=true" in final and re.search(r"\*\(\d+\)", final)
+
+
+def test_nation_volume_broadcasts_dims(spark):
+    plan = plan_of(q_nation_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # cust, supp, nation, region
+    assert "BatchEvalPython" not in plan
+
+
+def test_lww_is_partial_agg_single_shuffle(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    winners = ev.groupBy("user_id").agg(F.max_by("value", "event_id").alias("v"))
+    plan = plan_of(winners)
+    # partial (map-side) then final aggregate around exactly one exchange
+    assert plan.count("Exchange") == 1
+    assert re.search(r"(partial_max_by|ObjectHashAggregate|SortAggregate|HashAggregate)", plan)
+
+
+def test_cdc_lww_no_python(spark):
+    plan = plan_of(q_cdc_lww(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_engine_lww_shuffle_count(spark, events_path):
+    ev = spark.read.parquet(events_path)
+    single = plan_of(last_writer_wins(ev, salt_buckets=None))
+    salted = plan_of(last_writer_wins(ev, salt_buckets=8))
+    assert single.count("Exchange") == 1
+    assert salted.count("Exchange") == 2  # documented cost of the salted path
+
+
+def test_offset_scan_partition_pruning(spark, events_path):
+    """Partition-directory pruning: a single-partition range scan reads
+    only that partition's files."""
+    from kafka_plugins_spark.sources.events import scan_events
+
+    df = scan_events(spark, events_path, ranges={2: (0, 50)})
+    plan = plan_of(df)
+    # hive-partition filter on `partition` appears as a partition filter,
+    # and the offset predicate is pushed to parquet
+    assert "PushedFilters" in plan
+    assert df.select("partition").distinct().count() == 1

@@ -101,3 +101,14 @@ def test_max_records_cap(spark, events_path):
     df = scan_events(spark, events_path, ranges={0: (0, 1 << 40)}, max_records_per_partition=7)
     assert df.count() <= 7 + 2  # + possible replay duplicates inside the range
     assert df.agg(F.max("offset")).first()[0] < 7
+
+
+def test_wire_replay_matches_oracle(spark, events_path, tmp_path):
+    """Full ingest path: wire-format (binary JSON) log → decode → replay."""
+    from kafka_plugins_spark.datagen import write_wire_events
+
+    wire = str(tmp_path / "wire")
+    write_wire_events(spark.read.parquet(events_path), wire)
+    table, results = replay(spark, wire, str(tmp_path / "t"), wire=True)
+    assert not results[0].skipped
+    assert_tables_equal(table.read().toPandas(), duckdb_final_state(events_path))
