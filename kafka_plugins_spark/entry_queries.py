@@ -244,7 +244,89 @@ def q_events_rollup(spark, sf):
     )
 
 
+def q_customers_without_orders(spark, sf):
+    """Anti join: customers that never ordered."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_active_customer_balance(spark, sf):
+    """Semi join + agg: balance stats of customers WITH orders, by segment."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_balance"),
+        )
+    )
+
+
+def q_event_type_pivot(spark, sf):
+    """Pivot: per-user event-type counts as columns."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed(
+            {t: f"n_{t}" for t in ["click", "view", "purchase", "signup", "error"]}
+        )
+    )
+
+
+def q_lineitem_cube(spark, sf):
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 REL_ORACLES = {
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "active_customer_balance": """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS n_click,
+               count(*) FILTER (event_type = 'view')     AS n_view,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup')   AS n_signup,
+               count(*) FILTER (event_type = 'error')    AS n_error
+        FROM events GROUP BY user_id
+    """,
+    "lineitem_cube": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -639,6 +721,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "pricing_summary": q_pricing_summary,
+    "customers_without_orders": q_customers_without_orders,
+    "active_customer_balance": q_active_customer_balance,
+    "event_type_pivot": q_event_type_pivot,
+    "lineitem_cube": q_lineitem_cube,
     "top_revenue_orders": q_top_revenue_orders,
     "nation_volume": q_nation_volume,
     "top_orders_per_customer": q_top_orders_per_customer,
