@@ -379,8 +379,11 @@ REL_ORACLES = {
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, ts,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                   -- ::BIGINT: DuckDB's windowed sum yields HUGEINT, which
+                   -- materializes as float64 and breaks the value-hash vs
+                   -- Spark's int64 even when every value is identical
+                   (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
             FROM marked
         )
         SELECT user_id, session_id, count(*) AS n_events,

@@ -58,21 +58,17 @@ def word_shingles(
     )
 
 
-def _pair_jaccard(shingles: DataFrame, max_shingle_freq: int | None = None) -> DataFrame:
-    """All candidate pairs sharing ≥1 shingle, with exact Jaccard."""
-    sh = shingles
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("_f"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq).drop("_f")), "shingle"
-        )
+def _verify_pairs(cands: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard of candidate (doc_a, doc_b) pairs over the FULL
+    shingle sets: expand each pair by doc_a's shingles, equi-join doc_b's
+    — O(|cands| · avg shingles), never the all-pairs intersection."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a_sh = shingles.withColumnsRenamed({"doc_id": "doc_a"})
+    b_sh = shingles.withColumnsRenamed({"doc_id": "doc_b"})
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     return (
@@ -87,17 +83,52 @@ def _pair_jaccard(shingles: DataFrame, max_shingle_freq: int | None = None) -> D
     )
 
 
+def _pair_jaccard(shingles: DataFrame, max_shingle_freq: int | None = None) -> DataFrame:
+    """All candidate pairs sharing ≥1 (sub-cap) shingle, with exact Jaccard.
+
+    The candidate self-join runs over capped shingles only (skew bound);
+    the Jaccard of surviving candidates is verified over the full sets.
+    """
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_f"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq).drop("_f")), "shingle"
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(cands, shingles)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_freq: int | None = 128,
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold."""
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    ``max_shingle_freq`` (default 128) drops shingles shared by more
+    documents than the cap BEFORE the candidate self-join — one
+    degenerate stop-shingle in k docs would otherwise emit k² join rows,
+    the classic skew bomb at corpus scale. Recall contract: a pair is
+    found iff it shares ≥1 shingle *below* the cap; a true near-dup pair
+    (high Jaccard) shares many shingles, so only pairs whose entire
+    overlap is degenerate boilerplate are missed. The intersection counts
+    of surviving pairs use the FULL shingle sets, so reported Jaccard is
+    exact. Set ``None`` to disable (exact-but-quadratic).
+    """
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     return (
-        _pair_jaccard(sh)
+        _pair_jaccard(sh, max_shingle_freq=max_shingle_freq)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
@@ -160,27 +191,9 @@ def minhash_lsh_pairs(
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     sigs = minhash_signatures(sh, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
-    # verify ONLY the candidate pairs: expand each pair by doc_a's shingle
-    # set, then equi-join doc_b's — O(|cands| · avg shingles), not the
-    # all-pairs intersection (which defeats the point of LSH)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a_sh = sh.withColumnsRenamed({"doc_id": "doc_a"})
-    b_sh = sh.withColumnsRenamed({"doc_id": "doc_b"})
-    inter = (
-        cands.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    verified = (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select(
+    # verify ONLY the candidate pairs (see _verify_pairs) — the all-pairs
+    # intersection would defeat the point of LSH
+    return _verify_pairs(cands, sh).filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "jaccard"
     )
 

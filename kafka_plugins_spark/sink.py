@@ -55,12 +55,26 @@ def keyed_partition_expr(key_col: str, num_partitions: int) -> F.Column:
     )
 
 
-def salted_partition_expr(key_col: str, num_partitions: int, salt_buckets: int) -> F.Column:
+def salted_partition_expr(
+    key_col: str, num_partitions: int, salt_buckets: int, salt_cols: list[str]
+) -> F.Column:
     """Skew-defusing variant: a hot key spreads over ``salt_buckets``
-    adjacent partitions instead of hammering one. Replaces the
-    reference's md5-mod with the north rule's salted repartition."""
+    adjacent partitions instead of hammering one.
+
+    The salt derives from a hash of payload columns (``salt_cols``),
+    never from ``monotonically_increasing_id`` — a retried task
+    recomputes the same salt, so a record can't land in two partitions
+    across attempts (deterministic under task retry/recomputation).
+
+    NOT for CDC keyed topics: scattering one key across partitions breaks
+    the "all offsets of a key live in one partition" invariant that the
+    LWW-by-offset resolution depends on. Use :func:`keyed_partition_expr`
+    there; this partitioner is for unkeyed/analytics topics where only
+    load balance matters."""
+    if not salt_cols:
+        raise ValueError("salt_cols must name ≥1 payload column (deterministic salt source)")
     base = keyed_partition_expr(key_col, num_partitions)
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     return F.pmod(base + salt, F.lit(num_partitions)).cast("int")
 
 
@@ -115,17 +129,28 @@ def publish_alerts(alerts: DataFrame, path: str) -> int:
     Offline: appended to an ``_alerts`` log dir; returns rows published.
     Per-record try/catch-and-continue in the reference degrades to
     PERMISSIVE serialization here (to_json never throws)."""
-    out = serialize_json(alerts)
-    n = out.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = serialize_json(alerts).observe(obs, F.count(F.lit(1)).alias("n"))
     out.write.mode("append").json(path)
-    return n
+    # Observation rides the write job — ONE pass, and the reported count
+    # is exactly what was persisted (a second count() job could disagree
+    # for a nondeterministic source, and doubles the work).
+    return int(obs.get["n"])
 
 
 def split_dead_letters(decoded: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
-    """Split records whose decode failed (all required fields null) into a
-    dead-letter frame. Returns (good, dead)."""
+    """Split records whose decode failed into a dead-letter frame.
+
+    A record is dead when ANY required field is null — one missing
+    required field means the decode did not produce a usable record
+    (OR semantics; the permissive decoders null individual fields).
+    Returns (good, dead)."""
+    if not required:
+        raise ValueError("split_dead_letters needs ≥1 required field")
     is_dead = None
     for c in required:
         cond = F.col(c).isNull()
-        is_dead = cond if is_dead is None else (is_dead & cond)
+        is_dead = cond if is_dead is None else (is_dead | cond)
     return decoded.filter(~is_dead), decoded.filter(is_dead)

@@ -68,13 +68,22 @@ def start_ingest_stream(
     checkpoint_path: str,
     salt_buckets: int | None = None,
     watermark_delay: str = "1 hour",
-    dedup: bool = True,
+    dedup: bool = False,
     available_now: bool = True,
 ) -> IngestStream:
     """Wire the streaming DAG and start it.
 
     ``source`` is any streaming DataFrame with CHANGE_EVENT columns —
     a file stream in tests, a decoded Kafka stream in production.
+
+    ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
+    fence already collapse replay duplicates *exactly*, with no state and
+    no loss. ``dedup=True`` adds watermarked stateful dedup on the
+    payload event time, which trims per-batch work but silently DROPS
+    rows whose event time lags ``max(ts) - watermark_delay`` — while
+    ``compute_ranges`` on the post-dedup batch still fences their
+    offsets, making the drop permanent. Only enable it when the stream's
+    event-time disorder is provably bounded by ``watermark_delay``.
     """
     table = ParquetSnapshotTable(spark, table_path)
     stream = IngestStream(query=None, table=table)  # type: ignore[arg-type]

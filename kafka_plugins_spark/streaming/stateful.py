@@ -23,7 +23,7 @@ PROGRESS_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_turns_batch", T.LongType(), False),
         T.StructField("max_turn_idx", T.IntegerType(), True),
         T.StructField("last_offset", T.LongType(), True),
         T.StructField("n_deletes", T.LongType(), False),
@@ -64,7 +64,7 @@ def _track(
         {
             "conv_id": [conv_id],
             "n_events": [n_events],
-            "n_turns": [len(turns)],  # turns seen THIS batch (delta signal)
+            "n_turns_batch": [len(turns)],  # distinct turns THIS batch (delta signal)
             "max_turn_idx": [max_turn],
             "last_offset": [last_off],
             "n_deletes": [n_del],

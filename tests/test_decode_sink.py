@@ -181,3 +181,34 @@ def test_connector_browse_and_sample(spark, events_path, tmp_path):
     sample = c.sample("transcripts", limit=5)
     assert sample.count() == 5
     assert LakeConnector(spark, str(tmp_path / "missing")).test() is False
+
+
+def test_salted_partition_deterministic_and_spreads(spark):
+    from kafka_plugins_spark.sink import salted_partition_expr
+
+    df = spark.createDataFrame(
+        [("hot", f"payload-{i}") for i in range(200)], "k string, v string"
+    ).repartition(8)
+    expr = salted_partition_expr("k", 16, 4, salt_cols=["v"])
+    first = df.select("v", expr.alias("p")).collect()
+    # recomputation (simulated task retry) assigns identical partitions
+    again = {r["v"]: r["p"] for r in df.select("v", expr.alias("p")).collect()}
+    assert all(again[r["v"]] == r["p"] for r in first)
+    # one hot key spreads over exactly salt_buckets partitions
+    assert len({r["p"] for r in first}) == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_partition_expr("k", 16, 4, salt_cols=[])
+
+
+def test_dead_letters_any_required_null(spark):
+    """OR semantics: one missing required field ⇒ dead."""
+    decoded = spark.createDataFrame(
+        [("c1", "ok"), ("c2", None), (None, "text"), (None, None)],
+        "conv_id string, text string",
+    )
+    good, dead = split_dead_letters(decoded, ["conv_id", "text"])
+    assert good.count() == 1 and dead.count() == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_dead_letters(decoded, [])

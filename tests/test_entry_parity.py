@@ -51,6 +51,16 @@ def test_query_matches_oracle(spark, duck, name):
     want = normalize(duck.execute(oracle).df())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    # The driver hashes raw values, so int64 1 vs float64 1.0 is a FAIL
+    # there — mirror that: numeric KIND must agree per column (DuckDB
+    # HUGEINT → float64 drift is the classic trap; round1's sessionize).
+    for c in got.columns:
+        got_f = pd.api.types.is_float_dtype(got[c])
+        want_f = pd.api.types.is_float_dtype(want[c])
+        assert got_f == want_f, (
+            f"{name}.{c}: int/float dtype drift (spark={got[c].dtype}, "
+            f"oracle={want[c].dtype}) — would hash-mismatch in the driver"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
 
 

@@ -118,3 +118,40 @@ def test_stream_multi_trigger_converges(spark, staged, tmp_path):
     lin = s.table.read_lineage()
     assert lin.count() >= 2
     assert lin.filter(F.col("rows") <= 0).count() == 0
+
+
+def test_late_event_not_lost_without_dedup(spark, tmp_path):
+    """ADVICE r1 (medium): with stateful dedup ON, an event whose payload
+    ts lags the stream's max ts by more than the watermark is silently
+    dropped while its offset is still fenced — permanent loss. The
+    default path (dedup=False) must apply it."""
+    import datetime as dt
+
+    from kafka_plugins_spark.schema import CHANGE_EVENT
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    drop1 = [
+        ("c1", 0, "user", "hello", None, t0, "I", 0, 0),
+        ("c2", 0, "user", "hi", None, t0 + dt.timedelta(minutes=1), "I", 0, 1),
+    ]
+    # arrives later, event time 3 DAYS older than everything before it
+    drop2 = [("c3", 0, "user", "late but real", None, t0 - dt.timedelta(days=3), "I", 0, 2)]
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    spark.createDataFrame(drop1, CHANGE_EVENT).coalesce(1).write.parquet(str(tmp_path / "d1"))
+    spark.createDataFrame(drop2, CHANGE_EVENT).coalesce(1).write.parquet(str(tmp_path / "d2"))
+    _stage(str(tmp_path / "d1"), watch)
+    s1 = start_ingest_stream(
+        spark, file_event_source(spark, watch, CHANGE_EVENT),
+        str(tmp_path / "table"), str(tmp_path / "ckpt"),
+    )  # defaults: dedup=False
+    s1.await_and_stop()
+    _stage(str(tmp_path / "d2"), watch)
+    s2 = start_ingest_stream(
+        spark, file_event_source(spark, watch, CHANGE_EVENT),
+        str(tmp_path / "table"), str(tmp_path / "ckpt"),
+    )
+    s2.await_and_stop()
+    rows = {r["conv_id"] for r in s2.table.read().collect()}
+    assert rows == {"c1", "c2", "c3"}, "late event must not be lost on the default path"

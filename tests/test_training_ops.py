@@ -113,3 +113,31 @@ def test_feature_extraction_deterministic(spark):
     a = extract_features(synthesize_media(spark, n=10)).orderBy("media_id").toPandas()
     b = extract_features(synthesize_media(spark, n=10)).orderBy("media_id").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hot_shingle_skew_capped(spark):
+    """One 3-gram shared by EVERY doc must not blow up the candidate join:
+    with the cap engaged, docs whose only overlap is the degenerate
+    shingle never pair, while true near-dups (many shared shingles,
+    each sub-cap) are still found with their exact full-set Jaccard."""
+    boiler = "the quick brown"  # appears in all docs
+    rows = [(i, f"{boiler} doc {i} unique words alpha{i} beta{i} gamma{i}") for i in range(40)]
+    # two true near-dups: same tail, differ in one word
+    rows += [(100, f"{boiler} shared tail one two three four five six seven"),
+             (101, f"{boiler} shared tail one two three four five six eight")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, max_shingle_freq=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    # jaccard is computed over FULL shingle sets, not the capped ones
+    row = pairs.collect()[0]
+    sh = word_shingles(d.filter("doc_id >= 100"))
+    import collections
+    per_doc = collections.Counter(r["doc_id"] for r in sh.collect())
+    common = (
+        {tuple(r) for r in sh.filter("doc_id = 100").select("shingle").collect()}
+        & {tuple(r) for r in sh.filter("doc_id = 101").select("shingle").collect()}
+    )
+    expected_j = round(len(common) / (per_doc[100] + per_doc[101] - len(common)), 4)
+    assert row["n_common"] == len(common)
+    assert abs(row["jaccard"] - expected_j) < 1e-9
