@@ -663,9 +663,53 @@ def q_knn_label_vote(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed ANN — the scale path. No SQL oracle (bucket planes are
-    engine-side literals); the driver records a rows-only check."""
+    """LSH-bucketed ANN — the scale path. The md5-derived hyperplanes are
+    deterministic Python literals, so the DuckDB oracle reproduces the
+    bucketing + multiprobe + rank EXACTLY (see _ann_lsh_oracle_sql)."""
     return sim.ann_lsh_topk(_t(spark, sf, "embeddings"), n_queries=20, k=5)
+
+
+def _ann_lsh_oracle_sql(n_queries: int = 20, k: int = 5, dim: int = 64, planes: int = 4) -> str:
+    """Emit the LSH hyperplanes as SQL literals and rebuild the exact
+    Spark algorithm in DuckDB: sign-projection bucket, 1-bit-flip
+    multiprobe, within-bucket cosine, top-k by (score desc, id asc)."""
+    plane_rows = ",\n            ".join(
+        "({bit}, [{vals}]::DOUBLE[])".format(
+            bit=1 << p,
+            vals=", ".join(repr(x) for x in sim._hyperplane(p, dim)),
+        )
+        for p in range(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(planes)])
+    return f"""
+        WITH planes(bit, v) AS (VALUES
+            {plane_rows}),
+        buckets AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+                                i -> e.embedding[i]::DOUBLE * p.v[i])) > 0
+                            THEN p.bit ELSE 0 END)::INT AS bucket
+            FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+        b AS (SELECT e.vec_id, e.embedding, bk.bucket
+              FROM embeddings e JOIN buckets bk USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, embedding AS qemb,
+                     unnest([{probes}]) AS bucket
+              FROM b WHERE vec_id < {n_queries}),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(generate_series(1, {dim}),
+                             i -> q.qemb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                         / (sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                         4) AS score
+            FROM q JOIN b c USING (bucket)
+            WHERE c.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= {k}
+    """
 
 
 _COS = (
@@ -710,6 +754,7 @@ SIM_ORACLES = {
                                       ORDER BY n_votes DESC, n_label ASC) AS r
             FROM votes) WHERE r = 1
     """,
+    "ann_lsh_topk": _ann_lsh_oracle_sql(),
 }
 
 
@@ -754,5 +799,4 @@ ORACLES: dict[str, str] = {
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIM_ORACLES,
-    # ann_lsh_topk intentionally absent → rows-only check
 }

@@ -77,3 +77,28 @@ def test_offset_scan_partition_pruning(spark, events_path):
     # and the offset predicate is pushed to parquet
     assert "PushedFilters" in plan
     assert df.select("partition").distinct().count() == 1
+
+
+def test_emb_neardup_no_cartesian(spark):
+    """Near-dup pairs must be a cell-key equi-join (+ exact verify), not
+    an all-pairs cartesian — the shape that survives 100 TB."""
+    from kafka_plugins_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(embedding_neardup_pairs(emb, threshold=0.45))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_emb_neardup_grid_matches_exact(spark):
+    """The grid blocking is EXACT (recall 1 by Cauchy–Schwarz), not
+    probabilistic: identical pair set as the all-pairs cross join."""
+    from kafka_plugins_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    want = {tuple(r) for r in embedding_neardup_pairs_exact(emb, threshold=0.45).collect()}
+    assert got == want and len(want) > 0
