@@ -133,6 +133,38 @@ CDC_ORACLES = {
 }
 
 
+_AVRO_EVENT_SCHEMA = """{
+  "type": "record", "name": "event",
+  "fields": [
+    {"name": "event_id", "type": ["null", "long"]},
+    {"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+    {"name": "user_id", "type": ["null", "long"]},
+    {"name": "event_type", "type": ["null", "string"]},
+    {"name": "value", "type": ["null", "double"]},
+    {"name": "props", "type": ["null", "string"]}
+  ]
+}"""
+
+
+def q_decode_avro_events(spark, sf):
+    """S6 avro decode, jar-free: serialize every events row to avro
+    binary (pure-Python codec via mapInPandas), decode it back through
+    the engine's avro path, return the payload. The oracle is the plain
+    table — equality holds iff decode(encode(x)) == x for every row of
+    longs/doubles/strings/timestamps incl. nulls."""
+    from kafka_plugins_spark.functions.decode import decode_value, encode_avro
+
+    ev = _t(spark, sf, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    wire = encode_avro(ev.select(*cols), _AVRO_EVENT_SCHEMA, payload_cols=cols)
+    return decode_value(wire, "avro", schema=_AVRO_EVENT_SCHEMA).select(*cols)
+
+
+AVRO_ORACLES = {
+    "decode_avro_events": "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+}
+
+
 # =========================================================================
 # Relational breadth (joins / aggs / windows / rollup / top-k)
 # =========================================================================
@@ -768,6 +800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_final_state": q_cdc_final_state,
     "cdc_partition_offsets": q_cdc_partition_offsets,
+    "decode_avro_events": q_decode_avro_events,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,
     "active_customer_balance": q_active_customer_balance,
@@ -795,6 +828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **CDC_ORACLES,
+    **AVRO_ORACLES,
     **REL_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,

@@ -179,17 +179,14 @@ def decode_value(
         parsed = F.from_json(text, schema, options or {"mode": "PERMISSIVE"})
         return df.select(*others, parsed.alias("_m")).select(*others, "_m.*")
     if fmt == "avro":
-        try:
-            from pyspark.sql.avro.functions import from_avro
-        except ImportError as e:  # pragma: no cover - needs spark-avro jar
-            raise NotImplementedError(
-                "avro decode needs the spark-avro package on the classpath "
-                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>)"
-            ) from e
         if not isinstance(schema, str):
             raise ValueError("avro decode requires a JSON avro schema string")
-        parsed = from_avro(F.col("value"), schema, options or {})
-        return df.select(*others, parsed.alias("_m")).select(*others, "_m.*")
+        if _jvm_avro_usable(df):
+            from pyspark.sql.avro.functions import from_avro
+
+            parsed = from_avro(F.col("value"), schema, options or {"mode": "PERMISSIVE"})
+            return df.select(*others, parsed.alias("_m")).select(*others, "_m.*")
+        return _decode_avro_python(df, schema, others)
     if fmt == "clf":
         return df.select(*others, *_extract_fields(text, CLF_REGEX, CLF_FIELDS)).withColumn(
             "content_length",
@@ -204,6 +201,81 @@ def decode_value(
         fields = [(n, T.StringType(), i + 1) for i, n in enumerate(names)]
         return df.select(*others, *_extract_fields(text, regex, fields))
     raise ValueError(f"unsupported format {fmt!r} (avro, binary, clf, csv, grok, json, syslog, text, tsv)")
+
+
+def _jvm_avro_usable(df: DataFrame) -> bool:
+    """True when the spark-avro package is on the session's classpath —
+    the preferred (codegen'd, JVM-side) decode path."""
+    try:
+        jvm = df.sparkSession._jvm
+        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
+
+
+def _decode_avro_python(df: DataFrame, schema_json: str, others: list[str]) -> DataFrame:
+    """Jar-free avro decode: Arrow-batched ``mapInPandas`` over the pure
+    codec in :mod:`kafka_plugins_spark.functions.avro_codec`. Malformed
+    records decode to all-null message fields (PERMISSIVE), matching the
+    other formats' dead-letter contract. ~10-100× slower than the JVM
+    path — the offline/sandbox fallback, not the cluster default."""
+    import pandas as pd
+
+    from kafka_plugins_spark.functions import avro_codec as ac
+
+    avro_schema = ac.parse_schema(schema_json)
+    msg_schema = ac.spark_schema_for(avro_schema)
+    out_fields = [f for f in df.schema.fields if f.name != "value"] + list(msg_schema.fields)
+    out_schema = T.StructType(out_fields)
+    msg_names = [f.name for f in msg_schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            decoded = [ac.decode_record(avro_schema, v) for v in pdf["value"]]
+            cols = {n: [None if d is None else d.get(n) for d in decoded] for n in msg_names}
+            out = pdf[others].copy() if others else pd.DataFrame(index=pdf.index)
+            for n in msg_names:
+                out[n] = cols[n]
+            yield out
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def encode_avro(df: DataFrame, schema_json: str, payload_cols: list[str]) -> DataFrame:
+    """Serialize ``payload_cols`` into an avro-binary ``value`` column
+    (K1 for avro topics; also the fixture generator for round-trip
+    tests). Pure-Python codec via ``mapInPandas`` — same batching shape
+    as the decode fallback."""
+    from kafka_plugins_spark.functions import avro_codec as ac
+
+    avro_schema = ac.parse_schema(schema_json)
+    others = [c for c in df.columns if c not in payload_cols]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in payload_cols]
+        + [T.StructField("value", T.BinaryType(), True)]
+    )
+
+    def batches(it):
+        for pdf in it:
+            recs = pdf[payload_cols].to_dict("records")
+            out = pdf[others].copy()
+            out["value"] = [ac.encode_record(avro_schema, _pyify(r)) for r in recs]
+            yield out
+
+    def _pyify(rec: dict) -> dict:
+        out = {}
+        for k, v in rec.items():
+            if hasattr(v, "to_pydatetime"):  # pd.Timestamp
+                v = v.to_pydatetime()
+            elif hasattr(v, "tolist"):  # np.ndarray (array columns)
+                v = v.tolist()
+            elif hasattr(v, "item"):  # numpy scalar
+                v = v.item()
+            out[k] = v
+        return out
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def decode_transcript_events(df: DataFrame) -> DataFrame:

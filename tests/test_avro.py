@@ -1,0 +1,104 @@
+"""Pure-Python avro codec: spec byte-vectors, round-trips, Spark fallback.
+
+The encoder/decoder follow the public Avro binary spec; byte vectors
+below are the spec's own examples, so the round-trip tests aren't just
+self-consistent.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.functions import avro_codec as ac
+from kafka_plugins_spark.functions.decode import decode_value, encode_avro
+
+REC = """{
+  "type": "record", "name": "turn",
+  "fields": [
+    {"name": "conv_id", "type": "string"},
+    {"name": "turn_idx", "type": "int"},
+    {"name": "score", "type": "double"},
+    {"name": "tool", "type": ["null", "string"]},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}
+  ]
+}"""
+
+
+def test_spec_byte_vectors():
+    """Long zig-zag and string examples straight from the Avro spec."""
+    for n, b in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+                 (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01")]:
+        assert ac.encode_record("long", n) == b, n
+        assert ac.decode_record("long", b) == n
+    assert ac.encode_record("string", "foo") == b"\x06foo"
+    assert ac.decode_record("string", b"\x06foo") == "foo"
+    # array of longs [3, 27] per spec: 04 06 36 00
+    sch = {"type": "array", "items": "long"}
+    assert ac.encode_record(sch, [3, 27]) == b"\x04\x06\x36\x00"
+    assert ac.decode_record(sch, b"\x04\x06\x36\x00") == [3, 27]
+
+
+def test_record_roundtrip_with_union_and_logical():
+    rec = {
+        "conv_id": "c-1", "turn_idx": 7, "score": 0.5, "tool": None,
+        "tags": ["a", "b"], "ts": dt.datetime(2024, 3, 1, 12, 30, 0, 123456),
+    }
+    schema = ac.parse_schema(REC)
+    assert ac.decode_record(schema, ac.encode_record(schema, rec)) == rec
+    rec["tool"] = "search"
+    assert ac.decode_record(schema, ac.encode_record(schema, rec)) == rec
+
+
+def test_malformed_decodes_to_none():
+    schema = ac.parse_schema(REC)
+    assert ac.decode_record(schema, b"\xff\xff") is None  # truncated varint
+    assert ac.decode_record(schema, b"") is None
+    assert ac.decode_record(schema, None) is None
+    # trailing garbage is rejected too
+    good = ac.encode_record(schema, {
+        "conv_id": "x", "turn_idx": 1, "score": 1.0, "tool": None,
+        "tags": [], "ts": dt.datetime(2024, 1, 1)})
+    assert ac.decode_record(schema, good + b"\x00") is None
+
+
+def test_spark_schema_mapping():
+    st = ac.spark_schema_for(REC)
+    assert [f.name for f in st.fields] == ["conv_id", "turn_idx", "score", "tool", "tags", "ts"]
+    assert st["turn_idx"].dataType.simpleString() == "int"
+    assert st["tool"].dataType.simpleString() == "string"
+    assert st["tags"].dataType.simpleString() == "array<string>"
+    assert st["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_spark_avro_roundtrip_permissive(spark):
+    rows = [
+        ("c1", 0, 1.5, None, ["x"], dt.datetime(2024, 5, 1, 8, 0, 0)),
+        ("c2", 3, -2.25, "calc", [], dt.datetime(2024, 5, 2, 9, 30, 15, 250000)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, score double, tool string, tags array<string>, ts timestamp"
+    )
+    wire = encode_avro(df, REC, payload_cols=df.columns)
+    assert wire.schema["value"].dataType.simpleString() == "binary"
+    back = decode_value(wire, "avro", schema=REC)
+
+    def norm(rows):
+        return sorted(tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in rows)
+
+    assert norm(back.select(*df.columns).collect()) == norm(df.collect())
+    # malformed record → all message fields null (dead-letterable)
+    bad = spark.createDataFrame([(bytearray(b"\xff\xff\xff"),)], "value binary")
+    nulls = decode_value(bad, "avro", schema=REC).collect()[0]
+    assert all(nulls[c] is None for c in df.columns)
+
+
+def test_decode_avro_keeps_envelope(spark):
+    df = spark.createDataFrame([("c1", 0, 0.0, None, [], dt.datetime(2024, 1, 1))],
+                               "conv_id string, turn_idx int, score double, tool string, tags array<string>, ts timestamp")
+    wire = encode_avro(df, REC, payload_cols=df.columns).withColumn(
+        "partition", F.lit(3)).withColumn("offset", F.lit(42).cast("long"))
+    out = decode_value(wire, "avro", schema=REC)
+    row = out.first()
+    assert row["partition"] == 3 and row["offset"] == 42 and row["conv_id"] == "c1"
