@@ -218,17 +218,19 @@ class ParquetSnapshotTable:
             ranges = compute_ranges(winners)
 
         delivered = self.delivered_ranges()
-        fully_covered = ranges and all(
-            _interval_covered(s, e, delivered.get(p, []))
-            for p, (s, e) in ranges.items()
-        )
-        if fully_covered:
-            return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+        if ranges:
+            decision = fence_decision(ranges, delivered)
+            if decision.skip:
+                return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+            needs_filter = decision.needs_filter
+        else:
+            needs_filter = bool(delivered)
 
         fresh = winners
-        drop = _delivered_filter_expr(delivered)
-        if drop is not None:
-            fresh = winners.filter(~drop)
+        if needs_filter:
+            drop = _delivered_filter_expr(delivered)
+            if drop is not None:
+                fresh = winners.filter(~drop)
         snap_before = self.current_snapshot()
         # Initial load with known ranges runs SINGLE-PASS: per-partition
         # stats ride along the write via Observation, so the winner set is
@@ -448,39 +450,144 @@ class ParquetSnapshotTable:
         os.rename(tmp, final)
 
 
-class IcebergMergeBackend:
-    """MERGE INTO SQL for a real Iceberg catalog (production path).
+@dataclass
+class FenceDecision:
+    """Outcome of fencing a batch's ranges against delivered intervals."""
 
-    The sandbox image has no Iceberg runtime jar, so only SQL construction
-    is exercised by tests; on a cluster, run via::
+    skip: bool  # every range fully covered → whole batch is a no-op
+    needs_filter: bool  # some rows covered → apply _delivered_filter_expr
+    effective_ranges: dict[int, tuple[int, int]] = field(default_factory=dict)
+
+
+SUMMARY_PREFIX = "kps.delivered."
+
+
+def encode_summary_props(delivered: dict[int, list[tuple[int, int]]]) -> dict[str, str]:
+    """Delivered interval set → Iceberg snapshot-summary properties.
+
+    Summary values must be strings; one key per source partition keeps
+    each value small and lets unrelated partitions' writers avoid
+    conflicts. The FULL merged set rides on every snapshot, so reading
+    the fence state is one summary lookup on the current snapshot (no
+    history walk)."""
+    return {
+        f"{SUMMARY_PREFIX}{p}": json.dumps([[a, b] for a, b in iv])
+        for p, iv in sorted(delivered.items())
+    }
+
+
+def decode_summary_props(summary: dict[str, str]) -> dict[int, list[tuple[int, int]]]:
+    """Inverse of :func:`encode_summary_props`; ignores foreign keys
+    (Iceberg puts its own metrics in the same summary map)."""
+    out: dict[int, list[tuple[int, int]]] = {}
+    for k, v in summary.items():
+        if k.startswith(SUMMARY_PREFIX):
+            out[int(k[len(SUMMARY_PREFIX):])] = [(int(a), int(b)) for a, b in json.loads(v)]
+    return out
+
+
+def fence_decision(
+    ranges: dict[int, tuple[int, int]],
+    delivered: dict[int, list[tuple[int, int]]],
+) -> FenceDecision:
+    """Pure skip/clip decision shared by both backends.
+
+    - every ``[start, end)`` fully inside its partition's delivered set
+      → ``skip`` (replay of committed work, drop the whole batch);
+    - any partial overlap → ``needs_filter`` (drop only covered rows);
+    - ``effective_ranges``: the raw ranges with starts clipped past any
+      delivered prefix — what this commit will newly deliver."""
+    if not ranges:
+        return FenceDecision(skip=True, needs_filter=False)
+    covered = all(
+        _interval_covered(s, e, delivered.get(p, [])) for p, (s, e) in ranges.items()
+    )
+    if covered:
+        return FenceDecision(skip=True, needs_filter=False)
+    needs_filter = any(
+        any(a < e and s < b for a, b in delivered.get(p, []))
+        for p, (s, e) in ranges.items()
+    )
+    eff = {p: (_clip_start(s, delivered.get(p, [])), e) for p, (s, e) in ranges.items()}
+    return FenceDecision(skip=False, needs_filter=needs_filter, effective_ranges=eff)
+
+
+def advance_delivered(
+    delivered: dict[int, list[tuple[int, int]]],
+    ranges: dict[int, tuple[int, int]],
+) -> dict[int, list[tuple[int, int]]]:
+    """Delivered set after committing ``ranges`` (merged, sorted)."""
+    out = {p: list(iv) for p, iv in delivered.items()}
+    for p, (s, e) in ranges.items():
+        out[p] = _merge_intervals(out.get(p, []) + [(s, e)])
+    return out
+
+
+class IcebergMergeBackend:
+    """MERGE INTO + snapshot-summary fence for a real Iceberg catalog.
+
+    The sandbox image has no Iceberg runtime jar, so SQL construction and
+    the fence logic (pure functions above — identical semantics to
+    :class:`ParquetSnapshotTable`, golden-tested jar-free) are what tests
+    exercise; on a cluster, run via::
 
         spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
             --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog ...
 
-    Offset watermarks are recorded in the snapshot summary via the commit
-    property ``spark.wap`` -style write options / table properties set in
-    the same transaction as the MERGE, giving the identical fence contract
-    as :class:`ParquetSnapshotTable`.
+    Commit protocol (exactly-once): read the current snapshot's summary →
+    :func:`decode_summary_props` → :func:`fence_decision`; skip, or MERGE
+    the (possibly fence-filtered) winners with the new delivered set from
+    :func:`advance_delivered` attached as ``snapshot-property.`` write
+    options — Iceberg commits data + summary in one atomic snapshot swap,
+    so the cursor can never run ahead of (or behind) the data.
     """
 
     def __init__(self, table_identifier: str):
         self.table = table_identifier
 
+    # --- fence (pure, jar-free) -------------------------------------------
+    def read_delivered(self, spark: SparkSession) -> dict[int, list[tuple[int, int]]]:
+        """Delivered intervals from the current snapshot's summary
+        (``<table>.snapshots`` metadata table; empty for a fresh table)."""
+        row = (
+            spark.sql(
+                f"SELECT summary FROM {self.table}.snapshots "
+                f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            ).collect()
+        )
+        return decode_summary_props(dict(row[0]["summary"])) if row else {}
+
+    @staticmethod
+    def commit_options(delivered: dict[int, list[tuple[int, int]]]) -> dict[str, str]:
+        """Write options attaching the fence state to the SAME commit as
+        the data (Iceberg's ``snapshot-property.`` option prefix)."""
+        return {
+            f"snapshot-property.{k}": v for k, v in encode_summary_props(delivered).items()
+        }
+
+    # --- SQL construction ---------------------------------------------------
     def build_merge_sql(
         self,
         updates_view: str,
         payload_columns: list[str] | None = None,
         order_guard: bool = True,
+        hard_delete: bool = False,
     ) -> str:
         """MERGE with last-writer-wins guards.
 
         ``order_guard=True`` (default) compares the incoming offset with
         the stored ``_offset`` system column, so a replayed or
         out-of-order batch can never overwrite newer data — the Iceberg
-        rendition of the sandbox backend's order-aware merge. The target
-        table carries ``_op/_partition/_offset`` system columns (hidden by
-        consumer views), and tombstones are soft (op='D' updates _op; a
-        scheduled compaction deletes them), matching ParquetSnapshotTable.
+        rendition of the sandbox backend's order-aware merge.
+
+        Delete handling: ``hard_delete=False`` (default) keeps tombstones
+        as soft rows (op='D' updates ``_op``; consumer views filter them,
+        a compaction pass hard-deletes once the delivered intervals are
+        contiguous) — REQUIRED whenever out-of-order batches are possible,
+        because a hard-deleted key loses the ``_offset`` that fences a
+        late lower-offset re-insert. ``hard_delete=True`` emits
+        ``WHEN MATCHED AND s.op='D' THEN DELETE`` for strictly in-order
+        sources (the Kafka case), where nothing older can arrive.
         """
         cols = payload_columns or [f.name for f in TRANSCRIPT.fields]
         on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLUMNS)
@@ -491,16 +598,53 @@ class IcebergMergeBackend:
         )
         insert_cols = ", ".join([*cols, "_op", "_partition", "_offset"])
         insert_vals = ", ".join([f"s.{c}" for c in cols] + ["s.op", "s.partition", "s.offset"])
+        delete_clause = (
+            f"WHEN MATCHED AND s.op = 'D'{guard} THEN DELETE\n" if hard_delete else ""
+        )
         return (
             f"MERGE INTO {self.table} t\n"
             f"USING {updates_view} s\n"
             f"ON {on}\n"
+            f"{delete_clause}"
             f"WHEN MATCHED{guard} THEN UPDATE SET {set_clause}\n"
             f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
         )
 
-    def merge_into(self, spark: SparkSession, winners: DataFrame, batch_id: int) -> None:
+    def compaction_sql(self) -> str:
+        """Hard-delete soft tombstones (run once delivered intervals are
+        contiguous — same precondition as ParquetSnapshotTable.compact)."""
+        return f"DELETE FROM {self.table} WHERE _op = 'D'"
+
+    # --- execution (needs the runtime jar) ----------------------------------
+    def merge_into(
+        self,
+        spark: SparkSession,
+        winners: DataFrame,
+        batch_id: int,
+        ranges: dict[int, tuple[int, int]] | None = None,
+        hard_delete: bool = False,
+    ) -> CommitResult:
+        t0 = time.monotonic()
+        if ranges is None:
+            ranges = compute_ranges(winners)
+        delivered = self.read_delivered(spark)
+        decision = fence_decision(ranges, delivered)
+        if decision.skip:
+            return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+        if decision.needs_filter:
+            drop = _delivered_filter_expr(delivered)
+            if drop is not None:
+                winners = winners.filter(~drop)
         view = f"_cdc_updates_{batch_id}"
         winners.createOrReplaceTempView(view)
         payload = [c for c in winners.columns if c not in ("op", "partition", "offset")]
-        spark.sql(self.build_merge_sql(view, payload))
+        new_delivered = advance_delivered(delivered, decision.effective_ranges)
+        for k, v in self.commit_options(new_delivered).items():
+            spark.conf.set(f"spark.sql.iceberg.{k}", v)
+        spark.sql(self.build_merge_sql(view, payload, hard_delete=hard_delete))
+        return CommitResult(
+            skipped=False,
+            rows_applied=-1,  # Iceberg reports via snapshot metrics
+            ranges=decision.effective_ranges,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )
