@@ -57,3 +57,67 @@ class LakeConnector:
         """First ``limit`` rows of a table (partial scan via LIMIT)."""
         t = ParquetSnapshotTable(self.spark, os.path.join(self.warehouse, name))
         return t.read().limit(limit)
+
+
+class KafkaTopicConnector:
+    """Topic-side test/browse/sample — the reference's KafkaConnector
+    proper (``KafkaConnector.java:81-134``: ``test`` lists topics,
+    ``browse`` returns one entity per topic, ``sample`` consumes up to a
+    limit). Expressed over Spark's kafka batch source: listing rides the
+    AdminClient inside the connector (``subscribePattern .*`` resolves
+    topics), sampling is ``spark.read.format("kafka")`` bounded by
+    ``endingOffsets`` — never a streaming query. All option maps build
+    broker-free (unit-testable offline); only ``.load()`` needs a broker.
+    """
+
+    def __init__(self, spark: SparkSession, brokers: str, extra: dict[str, str] | None = None):
+        self.spark = spark
+        self.brokers = brokers
+        self.extra = dict(extra or {})  # e.g. kerberos_jaas_config(...)
+
+    def _base_options(self) -> dict[str, str]:
+        return {"kafka.bootstrap.servers": self.brokers, **self.extra}
+
+    def browse_options(self) -> dict[str, str]:
+        """Options enumerating every topic (browse): pattern-subscribe all,
+        zero-row read (earliest..earliest) — metadata only."""
+        return {
+            **self._base_options(),
+            "subscribePattern": ".*",
+            "startingOffsets": "earliest",
+            "endingOffsets": "earliest",
+        }
+
+    def sample_options(self, topic: str) -> dict[str, str]:
+        """Options for a bounded sample read of one topic."""
+        return {
+            **self._base_options(),
+            "subscribe": topic,
+            "startingOffsets": "earliest",
+            "endingOffsets": "latest",
+            "failOnDataLoss": "false",
+        }
+
+    def _reader(self, options: dict[str, str]):
+        r = self.spark.read.format("kafka")
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r
+
+    def test(self) -> bool:
+        """Connectivity check: can the metadata read reach the brokers?"""
+        try:
+            self._reader(self.browse_options()).load().limit(0).collect()
+            return True
+        except Exception:
+            return False
+
+    def browse(self) -> list[str]:
+        """Distinct topic names (the reference returns one entity per
+        topic with BROWSE/SAMPLE capabilities)."""
+        df = self._reader(self.browse_options()).load()
+        return sorted(r["topic"] for r in df.select("topic").distinct().collect())
+
+    def sample(self, topic: str, limit: int = 100) -> DataFrame:
+        """Up to ``limit`` records of the topic's envelope columns."""
+        return self._reader(self.sample_options(topic)).load().limit(limit)

@@ -92,6 +92,26 @@ def _delivered_filter_expr(delivered: dict[int, list[tuple[int, int]]]):
     return expr
 
 
+def _append_lineage_file(lineage_dir: str, rows: list[tuple]) -> None:
+    """Append one parquet file of lineage rows, driver-side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lineage_dir, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    table = pa.table(
+        {
+            "batch_id": pa.array(cols[0], pa.int64()),
+            "partition": pa.array(cols[1], pa.int32()),
+            "start_offset": pa.array(cols[2], pa.int64()),
+            "end_offset": pa.array(cols[3], pa.int64()),
+            "rows": pa.array(cols[4], pa.int64()),
+            "wall_ms": pa.array(cols[5], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(lineage_dir, f"lineage-{uuid.uuid4().hex}.parquet"))
+
+
 SYSTEM_FIELDS = [
     T.StructField("_op", T.StringType(), True),
     T.StructField("_partition", T.IntegerType(), True),
@@ -348,9 +368,11 @@ class ParquetSnapshotTable:
                 (int(batch_id), p, int(lo), int(end), int(n), wall_ms)
                 for p, (lo, end, n) in sorted(per_part.items())
             ]
-            self.spark.createDataFrame(lineage_rows, LINEAGE).coalesce(1).write.mode(
-                "append"
-            ).parquet(os.path.join(self.path, LINEAGE_DIR))
+            # O(partitions) rows — written driver-side (pyarrow), NOT as a
+            # Spark job: a coalesce(1) lineage write costs a whole
+            # single-task stage (~1.4 s) per commit, pure fixed overhead
+            # that never parallelizes.
+            _append_lineage_file(os.path.join(self.path, LINEAGE_DIR), lineage_rows)
 
             new_delivered = {p: list(iv) for p, iv in delivered.items()}
             for p, (lo, end, _) in per_part.items():

@@ -19,7 +19,11 @@ from pyspark.sql import SparkSession
 
 from kafka_plugins_spark.lake import CommitResult, ParquetSnapshotTable
 from kafka_plugins_spark.operators.resolve import last_writer_wins
-from kafka_plugins_spark.sources.events import partition_end_offsets, scan_events
+from kafka_plugins_spark.sources.events import (
+    partition_end_offsets,
+    partition_end_offsets_from_metadata,
+    scan_events,
+)
 
 
 def replay(
@@ -51,12 +55,12 @@ def replay(
 
     if chunk_size is None:
         winners = last_writer_wins(events, salt_buckets=salt_buckets)
-        ends = partition_end_offsets(events)
+        ends = partition_end_offsets_from_metadata(events_path) or partition_end_offsets(events)
         ranges = {p: (0, e) for p, e in ends.items()}
         results.append(table.merge_into(winners, batch_id=0, ranges=ranges))
         return table, results
 
-    ends = partition_end_offsets(events)
+    ends = partition_end_offsets_from_metadata(events_path) or partition_end_offsets(events)
     if not ends:
         return table, results
     max_end = max(ends.values())

@@ -81,3 +81,23 @@ def test_kerberos_jaas_config():
     assert opts["kafka.sasl.mechanism"] == "GSSAPI"
     jaas = opts["kafka.sasl.jaas.config"]
     assert 'principal="svc/host@REALM"' in jaas and 'keyTab="/etc/sec.keytab"' in jaas
+
+
+def test_topic_connector_option_construction(spark):
+    """Topic-side browse/sample options build broker-free (C1 parity:
+    KafkaConnector.java:81-134); only .load() needs a broker."""
+    from kafka_plugins_spark.connector import KafkaTopicConnector
+    from kafka_plugins_spark.sources.kafka import kerberos_jaas_config
+
+    c = KafkaTopicConnector(spark, "b1:9092,b2:9092",
+                            extra=kerberos_jaas_config("svc@REALM", "/keytabs/svc.kt"))
+    b = c.browse_options()
+    assert b["subscribePattern"] == ".*"
+    assert b["startingOffsets"] == "earliest" and b["endingOffsets"] == "earliest"
+    assert b["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert b["kafka.sasl.mechanism"] == "GSSAPI"
+    s = c.sample_options("transcripts")
+    assert s["subscribe"] == "transcripts"
+    assert s["endingOffsets"] == "latest" and s["failOnDataLoss"] == "false"
+    # connectivity test degrades to False without a broker, never raises
+    assert c.test() is False
