@@ -165,6 +165,40 @@ AVRO_ORACLES = {
 }
 
 
+def q_media_byte_histogram(spark, sf):
+    """Multimodal featurize plumbing, driver-verified: documents' text
+    bytes stand in for opaque media blobs (encode → binary JVM-side);
+    the Arrow-batched mapInPandas featurizer computes the per-blob byte
+    histogram — the same batch shape a real image/audio featurizer uses,
+    with integer output so the oracle hash-matches exactly."""
+    from kafka_plugins_spark.operators.multimodal import byte_histogram
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return byte_histogram(d, data_col="data", id_col="doc_id", bins=16)
+
+
+_HEXPOS = "strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1"
+
+MEDIA_ORACLES = {
+    # bin of byte i == its high nibble == hex char 2i-1 of the blob's hex
+    "media_byte_histogram": f"""
+        WITH blobs AS (
+            SELECT doc_id, lower(hex(encode(text))) AS hx,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents),
+        b AS (
+            SELECT doc_id, n_bytes,
+                   unnest(generate_series(1, n_bytes)) AS i, hx
+            FROM blobs)
+        SELECT doc_id, n_bytes,
+               {", ".join(f"count(*) FILTER ({_HEXPOS} = {k})::BIGINT AS h{k}" for k in range(16))}
+        FROM b GROUP BY doc_id, n_bytes
+    """,
+}
+
+
 # =========================================================================
 # Relational breadth (joins / aggs / windows / rollup / top-k)
 # =========================================================================
@@ -801,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "decode_avro_events": q_decode_avro_events,
+    "media_byte_histogram": q_media_byte_histogram,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,
     "active_customer_balance": q_active_customer_balance,
@@ -829,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     **CDC_ORACLES,
     **AVRO_ORACLES,
+    **MEDIA_ORACLES,
     **REL_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,

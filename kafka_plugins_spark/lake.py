@@ -32,7 +32,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark import StorageLevel
@@ -252,30 +252,21 @@ class ParquetSnapshotTable:
             if drop is not None:
                 fresh = winners.filter(~drop)
         snap_before = self.current_snapshot()
-        # Initial load with known ranges runs SINGLE-PASS: per-partition
-        # stats ride along the write via Observation, so the winner set is
-        # computed exactly once (no persist materialization, no stats job
-        # — two fewer stage barriers on the hot backfill path). Incremental
-        # merges reference `fresh` twice (upserts + changed keys), so they
-        # persist it; serialized level because a big backfill's winner set
-        # can exceed what deserialized on-heap caching tolerates alongside
-        # running tasks (observed OOM at 8.6M wide rows / 16g heap).
+        # Initial load with known ranges runs SINGLE-PASS over the input:
+        # the winner set is computed exactly once straight into the write
+        # (no persist materialization); per-partition lineage stats come
+        # from a post-write column-pruned scan of the 2 system columns —
+        # measured CHEAPER (0.3-1 s, codegen'd, parallel) than riding an
+        # Observation on the write (96 interpreted per-row aggregate
+        # expressions cost 2-3.7 s on an 8-core 3.1M-event load) and it
+        # scales with the cluster instead of with row count × partitions.
+        # Incremental merges reference `fresh` twice (upserts + changed
+        # keys), so they persist it; serialized level because a big
+        # backfill's winner set can exceed what deserialized on-heap
+        # caching tolerates alongside running tasks (observed OOM at
+        # 8.6M wide rows / 16g heap).
         single_pass = snap_before is None and bool(ranges)
-        observation = None
-        obs_parts: list[int] = []
-        if single_pass:
-            observation = Observation()
-            obs_parts = sorted(ranges)
-            exprs = []
-            for p in obs_parts:
-                cond = F.col("partition") == p
-                exprs += [
-                    F.count(F.when(cond, True)).alias(f"n_{p}"),
-                    F.min(F.when(cond, F.col("offset"))).alias(f"lo_{p}"),
-                    F.max(F.when(cond, F.col("offset"))).alias(f"hi_{p}"),
-                ]
-            fresh = fresh.observe(observation, *exprs)
-        else:
+        if not single_pass:
             fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             per_part: dict[int, tuple[int, int, int]] | None = None
@@ -350,11 +341,16 @@ class ParquetSnapshotTable:
             merged.write.mode("overwrite").parquet(data_path)
 
             if single_pass:
-                vals = observation.get
                 per_part = {
-                    p: (int(vals[f"lo_{p}"]), int(vals[f"hi_{p}"]) + 1, int(vals[f"n_{p}"]))
-                    for p in obs_parts
-                    if vals[f"n_{p}"]
+                    int(r["_partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
+                    for r in self.spark.read.parquet(data_path)
+                    .groupBy("_partition")
+                    .agg(
+                        F.min("_offset").alias("lo"),
+                        F.max("_offset").alias("hi"),
+                        F.count("*").alias("n"),
+                    )
+                    .collect()
                 }
                 if not per_part:
                     shutil.rmtree(data_path, ignore_errors=True)

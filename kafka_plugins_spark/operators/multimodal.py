@@ -110,6 +110,39 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
 
 
+def byte_histogram(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id", bins: int = 16
+) -> DataFrame:
+    """Integer byte histogram of a binary column, Arrow batch at a time.
+
+    The driver-verifiable core of :func:`extract_features`: bin k counts
+    bytes with high nibble k (bin width 256/bins), plus total n_bytes —
+    all integers, so the result hash-matches a SQL oracle exactly (no
+    float32 drift). Same mapInPandas shape a real featurizer uses.
+    """
+    width = 256 // bins
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, False),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+        + [T.StructField(f"h{k}", T.LongType(), False) for k in range(bins)]
+    )
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: pdf[id_col], "n_bytes": [], **{f"h{k}": [] for k in range(bins)}}
+            for data in pdf[data_col]:
+                buf = np.frombuffer(data, dtype=np.uint8) if data is not None else np.zeros(0, np.uint8)
+                counts = np.bincount(buf // width, minlength=bins)
+                rows["n_bytes"].append(len(buf))
+                for k in range(bins):
+                    rows[f"h{k}"].append(int(counts[k]))
+            yield pd.DataFrame(rows, index=pdf.index)
+
+    return df.select(id_col, data_col).mapInPandas(hist, schema=out_schema)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: metadata updated JVM-side; pixel work is the stub
     decode (real impl would re-encode in the same mapInPandas pass)."""

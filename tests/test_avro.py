@@ -102,3 +102,43 @@ def test_decode_avro_keeps_envelope(spark):
     out = decode_value(wire, "avro", schema=REC)
     row = out.first()
     assert row["partition"] == 3 and row["offset"] == 42 and row["conv_id"] == "c1"
+
+
+# --- property tests: random records round-trip through the codec ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SCHEMA_PROP = """{
+  "type": "record", "name": "p",
+  "fields": [
+    {"name": "s", "type": "string"},
+    {"name": "n", "type": "long"},
+    {"name": "i", "type": "int"},
+    {"name": "d", "type": "double"},
+    {"name": "b", "type": "boolean"},
+    {"name": "u", "type": ["null", "string"]},
+    {"name": "xs", "type": {"type": "array", "items": "long"}},
+    {"name": "m", "type": {"type": "map", "values": "long"}},
+    {"name": "raw", "type": "bytes"}
+  ]
+}"""
+
+_rec = st.fixed_dictionaries({
+    "s": st.text(max_size=50),
+    "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "d": st.floats(allow_nan=False),
+    "b": st.booleans(),
+    "u": st.none() | st.text(max_size=20),
+    "xs": st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=8),
+    "m": st.dictionaries(st.text(max_size=8), st.integers(-(2**40), 2**40), max_size=5),
+    "raw": st.binary(max_size=40),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(_rec)
+def test_codec_roundtrip_property(rec):
+    schema = ac.parse_schema(_SCHEMA_PROP)
+    assert ac.decode_record(schema, ac.encode_record(schema, rec)) == rec
