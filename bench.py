@@ -63,38 +63,57 @@ def _gen_events(spark, sf_dir: str, out: str, seed: int = 42, multiplier: int = 
     return spark.read.parquet(out).count()
 
 
+def _jvm_cpu_sec() -> float:
+    """Total CPU-seconds consumed so far by java processes (utime+stime).
+
+    Throttle-independent evidence for the scaling runs: total engine
+    WORK (cpu-s/event) and utilization (busy cores / allotted cores)
+    stay meaningful even when the host steals wall-clock."""
+    import glob
+
+    total = 0.0
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            if "java" in open(stat.replace("/stat", "/cmdline")).read():
+                parts = open(stat).read().rsplit(") ", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+        except OSError:
+            pass
+    return total
+
+
 def _run_replay(spark, events_path: str, table_path: str, warmup: bool = True) -> dict:
     """Measure sustained replay throughput (the BASELINE.json metric).
 
     The measured job is the FULL ingest path — wire-format scan, JSON
-    payload decode (S6), LWW resolve, fenced CoW merge. A small warmup
-    replay first JIT-compiles the generated code paths — the metric is
-    *sustained* events/sec, not JVM cold-start."""
+    payload decode (S6), LWW resolve, fenced CoW merge. The warmup runs
+    the EXACT same code path on a small generated log (identical codegen
+    sources get JIT-compiled) — the metric is *sustained* events/sec,
+    not JVM cold-start or compile time."""
+    from kafka_plugins_spark.datagen import generate_events, write_wire_events
     from kafka_plugins_spark.replay import replay
 
     n_events = spark.read.parquet(events_path).count()
     if warmup:
-        with tempfile.TemporaryDirectory(prefix="warmup_") as w:
-            # warm a bounded slice: first 20k offsets of each partition
-            from kafka_plugins_spark.functions.decode import decode_transcript_events
-            from kafka_plugins_spark.operators.resolve import last_writer_wins
-            from kafka_plugins_spark.lake import ParquetSnapshotTable
-            from kafka_plugins_spark.sources.events import scan_events
-
-            sl = decode_transcript_events(
-                scan_events(spark, events_path, max_records_per_partition=20_000)
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        with tempfile.TemporaryDirectory(prefix="warmup_", dir=base) as w:
+            write_wire_events(
+                generate_events(spark, n_conversations=300, n_partitions=32, seed=5),
+                f"{w}/ev",
             )
-            t = ParquetSnapshotTable(spark, f"{w}/t")
-            t.merge_into(last_writer_wins(sl), batch_id=0)
-    t0 = time.monotonic()
+            replay(spark, f"{w}/ev", f"{w}/t", wire=True)
+    c0, t0 = _jvm_cpu_sec(), time.monotonic()
     table, results = replay(spark, events_path, table_path, wire=True)
     wall = time.monotonic() - t0
+    cpu = _jvm_cpu_sec() - c0
     rows = sum(r.rows_applied for r in results)
     return {
         "n_events": n_events,
         "rows_applied": rows,
         "replay_sec": round(wall, 2),
         "events_per_sec": round(n_events / wall, 1),
+        "jvm_cpu_sec": round(cpu, 1),
+        "events_per_cpu_sec": round(n_events / cpu, 1) if cpu > 0 else None,
     }
 
 
@@ -168,7 +187,7 @@ def _cpu_control(nproc: int, dur: float = 2.0) -> float:
     return total / (time.monotonic() - t0)
 
 
-def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 1, pair: tuple[int, int] = (2, 8)) -> dict:
+def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, int] = (2, 8)) -> dict:
     """North-rule evidence: identical replay job at N vs 4N cores.
 
     Methodology (all choices are about making N mean N on a noisy host):
@@ -195,47 +214,75 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 1, pair: tuple[int, 
     from kafka_plugins_spark.session import get_spark
 
     lo, hi = pair
-    spark = get_spark("bench-gen", cores=32)
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="bench_scaling_", dir=base)
-    ev = f"{work}/events"
-    n = _gen_events(spark, sf_dir, ev, multiplier=multiplier)
-    spark.stop()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    # stable staging path: repeated --scaling invocations (the recommended
+    # way to accumulate rounds past the host's minute-scale stall windows)
+    # reuse the generated log instead of regenerating it each time
+    ev = os.path.join(base, f"bench_scaling_events_m{multiplier}")
+    if not os.path.isdir(ev):
+        spark = get_spark("bench-gen", cores=32)
+        n = _gen_events(spark, sf_dir, ev, multiplier=multiplier)
+        spark.stop()
+    else:
+        import duckdb
 
-    runs: list[dict] = []
-    round_effs: list[dict] = []
-    try:
-        for rnd in range(rounds):
-            ctrl = {c: _cpu_control(c) for c in (lo, hi)}
-            ctrl_eff = ctrl[hi] / (4 * ctrl[lo])
-            per_cores: dict[int, dict] = {}
-            for cores in (lo, hi):
-                s0, t0 = _steal_sec(), time.monotonic()
-                proc = subprocess.run(
-                    ["taskset", "-c", f"0-{cores - 1}", sys.executable,
-                     os.path.join(REPO, "bench.py"), "--replay-only",
-                     "--cores", str(cores), "--events", ev],
-                    capture_output=True, text=True, check=True, cwd=REPO,
-                )
-                line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-                r = json.loads(line)
-                r.update(
-                    cores=cores,
-                    round=rnd,
-                    control_md5_per_sec=round(ctrl[cores]),
-                    steal_cpu_sec=round(_steal_sec() - s0, 1),
-                    proc_wall_sec=round(time.monotonic() - t0, 1),
-                )
-                runs.append(r)
-                per_cores[cores] = r
-            eff = per_cores[hi]["events_per_sec"] / (4 * per_cores[lo]["events_per_sec"])
-            round_effs.append(
-                {"round": rnd, "engine_eff": round(eff, 3), "control_eff": round(ctrl_eff, 3)}
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{ev}/**/*.parquet')"
+        ).fetchone()[0]
+
+    history_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    for rnd in range(rounds):
+        ctrl = {c: _cpu_control(c) for c in (lo, hi)}
+        ctrl_eff = ctrl[hi] / (4 * ctrl[lo])
+        per_cores: dict[int, dict] = {}
+        for cores in (lo, hi):
+            s0, t0 = _steal_sec(), time.monotonic()
+            proc = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+                 os.path.join(REPO, "bench.py"), "--replay-only",
+                 "--cores", str(cores), "--events", ev],
+                capture_output=True, text=True, check=True, cwd=REPO,
             )
-    finally:
-        import shutil
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            r.update(
+                cores=cores,
+                control_md5_per_sec=round(ctrl[cores]),
+                steal_cpu_sec=round(_steal_sec() - s0, 1),
+                proc_wall_sec=round(time.monotonic() - t0, 1),
+            )
+            per_cores[cores] = r
+        eff = per_cores[hi]["events_per_sec"] / (4 * per_cores[lo]["events_per_sec"])
+        with open(history_path, "a") as fh:
+            fh.write(json.dumps({
+                "ts": time.time(),
+                "pair": [lo, hi],
+                "n_events": n,
+                "engine_eff": round(eff, 3),
+                "control_eff": round(ctrl_eff, 3),
+                "runs": [per_cores[lo], per_cores[hi]],
+            }) + "\n")
 
-        shutil.rmtree(work, ignore_errors=True)
+    # report over the FULL accumulated history for this pair/log size —
+    # the host stalls in minute-scale windows, so evidence quality grows
+    # with rounds sampled across time, not within one invocation
+    history = [
+        json.loads(ln)
+        for ln in open(history_path)
+        if ln.strip()
+    ]
+    history = [h for h in history if h["pair"] == [lo, hi] and h["n_events"] == n]
+    runs = []
+    round_effs = []
+    for i, h in enumerate(history):
+        for r in h["runs"]:
+            r = dict(r)
+            r["round"] = i
+            runs.append(r)
+        round_effs.append(
+            {"round": i, "engine_eff": h["engine_eff"], "control_eff": h["control_eff"]}
+        )
 
     best_round = max(round_effs, key=lambda r: r["engine_eff"])
     med = sorted(r["engine_eff"] for r in round_effs)[len(round_effs) // 2]
@@ -260,7 +307,9 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 1, pair: tuple[int, 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
         f"| {r['round']} | local[{r['cores']}] | {r['replay_sec']} | "
-        f"{r['events_per_sec']} | {round(r['control_md5_per_sec']/1e6, 1)}M | {r['steal_cpu_sec']} |"
+        f"{r['events_per_sec']} | {r.get('events_per_cpu_sec')} | "
+        f"{round(r['jvm_cpu_sec'] / (r['replay_sec'] * r['cores']), 2) if r.get('jvm_cpu_sec') else '-'} | "
+        f"{round(r['control_md5_per_sec']/1e6, 1)}M | {r['steal_cpu_sec']} |"
         for r in runs
     )
     eff_rows = "\n".join(
@@ -272,13 +321,15 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 1, pair: tuple[int, 
             "Identical replay job (wire scan → JSON decode → LWW resolve →\n"
             f"fenced merge) on the same pre-generated CDC log ({n} events,\n"
             "tmpfs-staged), fresh JVM per run, PINNED to exactly N CPUs via\n"
-            f"taskset, {rounds} interleaved rounds of [control {lo}, control {hi},\n"
-            f"replay {lo}, replay {hi}]. Pair ({lo}, {hi}): the pure-CPU control shows\n"
+            f"taskset, {len(round_effs)} accumulated rounds of [control {lo}, control {hi},\n"
+            f"replay {lo}, replay {hi}] (history: scaling_history.jsonl; the host\n"
+            "stalls in minute-scale windows, so rounds are sampled across time).\n"
+            f"Pair ({lo}, {hi}): the pure-CPU control shows\n"
             "this host sustains 8-vs-2 pinned processes at ~1.0 efficiency but\n"
             "only ~0.65-0.70 at 32-vs-8 (hypervisor grants ~22-24 of 32 vCPUs),\n"
             "so 8→32 would measure the host's grant, not the engine.\n\n"
-            "| round | config | replay (s) | events/sec | md5 control/s | steal cpu-s |\n"
-            "|---|---|---|---|---|---|\n"
+            "| round | config | replay (s) | events/sec | ev/cpu-s | busy | md5 control/s | steal cpu-s |\n"
+            "|---|---|---|---|---|---|---|---|\n"
             f"{rows}\n\n"
             "Per-round efficiency (engine vs what the host delivered that round):\n\n"
             "| round | engine eff | pure-CPU control eff |\n"
