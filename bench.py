@@ -132,7 +132,8 @@ def full_bench(sf_dir: str, cores: int) -> dict:
     spark = get_spark("bench", cores=cores)
     out: dict = {"sf": _sf_value(sf_dir), "cores": cores}
 
-    with tempfile.TemporaryDirectory(prefix="bench_cdc_") as work:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(prefix="bench_cdc_", dir=base) as work:
         ev = f"{work}/events"
         n = _gen_events(spark, sf_dir, ev)
         rep = _run_replay(spark, ev, f"{work}/table")

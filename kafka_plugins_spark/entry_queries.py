@@ -778,6 +778,56 @@ def _ann_lsh_oracle_sql(n_queries: int = 20, k: int = 5, dim: int = 64, planes: 
     """
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN — coarse-quantizer cells + nprobe search (the second
+    scale-path ANN besides LSH). Deterministic codebook, so the DuckDB
+    oracle reproduces assignment + probing + ranking exactly."""
+    return sim.ann_ivf_topk(_t(spark, sf, "embeddings"), n_queries=20, k=5)
+
+
+def _ann_ivf_oracle_sql(
+    n_queries: int = 20, k: int = 5, dim: int = 64, n_cells: int = 8, nprobe: int = 2
+) -> str:
+    cent_rows = ",\n            ".join(
+        "({cid}, [{vals}]::DOUBLE[])".format(
+            cid=cid, vals=", ".join(repr(x) for x in cent)
+        )
+        for cid, cent in enumerate(sim.ivf_centroids(n_cells, dim))
+    )
+    return f"""
+        WITH cents(cid, v) AS (VALUES
+            {cent_rows}),
+        cscore AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(generate_series(1, {dim}),
+                        i -> e.embedding[i]::DOUBLE * c.v[i])) AS d
+            FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM cscore),
+        b AS (SELECT e.vec_id, e.embedding, r.cid AS cell
+              FROM embeddings e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1),
+        q AS (SELECT e.vec_id AS query_id, e.embedding AS qemb, r.cid AS cell
+              FROM embeddings e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= {nprobe}
+              WHERE e.vec_id < {n_queries}),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(generate_series(1, {dim}),
+                             i -> q.qemb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+                         / (sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                         4) AS score
+            FROM q JOIN b c USING (cell)
+            WHERE c.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= {k}
+    """
+
+
 _COS = (
     "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
     "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) "
@@ -821,6 +871,7 @@ SIM_ORACLES = {
             FROM votes) WHERE r = 1
     """,
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
+    "ann_ivf_topk": _ann_ivf_oracle_sql(),
 }
 
 
@@ -859,6 +910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup": q_emb_neardup,
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {

@@ -134,6 +134,83 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids from md5.
+
+    Production IVF trains k-means offline and broadcasts the codebook;
+    here the codebook is a fixed pseudo-random one so both engines (and
+    the DuckDB oracle) share it without shipping state. The *structure*
+    — assign to argmax-cosine centroid, probe nprobe cells — is the
+    real IVF search plan."""
+    out = []
+    for c in range(n_cells):
+        v = _hyperplane(2000 + c, dim)
+        n = sum(x * x for x in v) ** 0.5
+        out.append([x / n for x in v])
+    return out
+
+
+def ivf_cell_ranking(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Array of cell ids ordered by descending dot(vec, centroid)
+    (ties → smaller cell id). Element 0 is the home cell; the first
+    nprobe elements are the probe set."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(x) for x in cent])).alias("d"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, cent in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))  # desc by (d, -cid) ⇒ ties pick smaller cid
+    return F.transform(ranked, lambda s: -s["nc"])
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize every vector to its
+    argmax-cosine centroid cell, search only the query's ``nprobe``
+    nearest cells. The candidate join is an equi-join on ``_cell``;
+    at scale the cell is a partition/cluster key so each probe touches
+    one cell's files (same pruning story as the LSH variant, but the
+    cells adapt to the data distribution once the codebook is trained).
+    Recall < 1 by construction — the nprobe dial trades recall for
+    touched cells."""
+    cents = ivf_centroids(n_cells, dim)
+    ranking = ivf_cell_ranking(vec_col, cents)
+    bucketed = emb.withColumn("_cell", ranking.getItem(0))
+    q = (
+        emb.filter(F.col(id_col) < n_queries)
+        .withColumn("_probes", F.slice(ranking, 1, nprobe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode("_probes").alias("_cell"),
+        )
+    )
+    c = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cell")
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_neardup_pairs_exact(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -141,3 +141,19 @@ def test_hot_shingle_skew_capped(spark):
     expected_j = round(len(common) / (per_doc[100] + per_doc[101] - len(common)), 4)
     assert row["n_common"] == len(common)
     assert abs(row["jaccard"] - expected_j) < 1e-9
+
+
+def test_ann_ivf_recall_dial(spark):
+    """IVF: nprobe widens recall monotonically; nprobe=n_cells ≡ exact."""
+    from kafka_plugins_spark.operators.similarity import ann_ivf_topk
+
+    e = emb(spark)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, n_queries=10, k=5).collect()}
+    last = -1.0
+    for nprobe in (1, 4, 8):
+        ivf = {(r.query_id, r.neighbor_id)
+               for r in ann_ivf_topk(e, n_queries=10, k=5, n_cells=8, nprobe=nprobe).collect()}
+        recall = len(ivf & bf) / len(bf)
+        assert recall >= last - 1e-9, f"recall must not shrink as nprobe grows ({nprobe})"
+        last = recall
+    assert recall == 1.0, "probing every cell must reproduce the exact top-k"
