@@ -235,7 +235,7 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     for rnd in range(rounds):
         ctrl = {c: _cpu_control(c) for c in (lo, hi)}
-        ctrl_eff = ctrl[hi] / (4 * ctrl[lo])
+        ctrl_eff = ctrl[hi] / ((hi / lo) * ctrl[lo])
         per_cores: dict[int, dict] = {}
         for cores in (lo, hi):
             s0, t0 = _steal_sec(), time.monotonic()
@@ -254,7 +254,7 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
                 proc_wall_sec=round(time.monotonic() - t0, 1),
             )
             per_cores[cores] = r
-        eff = per_cores[hi]["events_per_sec"] / (4 * per_cores[lo]["events_per_sec"])
+        eff = per_cores[hi]["events_per_sec"] / ((hi / lo) * per_cores[lo]["events_per_sec"])
         with open(history_path, "a") as fh:
             fh.write(json.dumps({
                 "ts": time.time(),
@@ -291,7 +291,7 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
         c: max((r for r in runs if r["cores"] == c), key=lambda r: r["events_per_sec"])
         for c in (lo, hi)
     }
-    best_of_eff = best[hi]["events_per_sec"] / (4 * best[lo]["events_per_sec"])
+    best_of_eff = best[hi]["events_per_sec"] / ((hi / lo) * best[lo]["events_per_sec"])
     report = {
         "n_events": n,
         "pair": [lo, hi],
@@ -336,7 +336,7 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
             "| round | engine eff | pure-CPU control eff |\n"
             "|---|---|---|\n"
             f"{eff_rows}\n\n"
-            f"**Scaling efficiency** `T({hi})/(4·T({lo}))`: best round "
+            f"**Scaling efficiency** `T({hi})/({hi // lo}·T({lo}))`: best round "
             f"**{best_round['engine_eff']}** (control that round: "
             f"{best_round['control_eff']}), median {med}, "
             f"best-of-runs {round(best_of_eff, 3)} "

@@ -39,7 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--table", required=True)
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--watermark", default="24 hours")
-    st.add_argument("--no-dedup", action="store_true")
+    # default OFF: watermarked dedup drops late events whose offsets the
+    # fence then permanently blocks (LWW + fence already dedup exactly)
+    st.add_argument("--dedup", action="store_true",
+                    help="enable watermarked stateful dedup (only when event-time "
+                         "disorder is provably bounded by --watermark)")
     st.add_argument("--salt-buckets", type=int, default=0)
     st.add_argument("--cores", type=int, default=None)
 
@@ -104,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             salt_buckets=args.salt_buckets or None,
             watermark_delay=args.watermark,
-            dedup=not args.no_dedup,
+            dedup=args.dedup,
         )
         s.await_and_stop()
         rows = sum(c.rows_applied for c in s.commits)

@@ -79,13 +79,17 @@ class KafkaTopicConnector:
         return {"kafka.bootstrap.servers": self.brokers, **self.extra}
 
     def browse_options(self) -> dict[str, str]:
-        """Options enumerating every topic (browse): pattern-subscribe all,
-        zero-row read (earliest..earliest) — metadata only."""
+        """Options for the scan-based topic enumeration fallback: a
+        bounded pattern-subscribe read whose rows carry the topic column.
+        (An earliest..earliest read would be metadata-only but yields
+        ZERO rows — topic names only exist on rows — so it can't list
+        anything.) Prefer :meth:`_admin_topics`, which is O(metadata)."""
         return {
             **self._base_options(),
             "subscribePattern": ".*",
             "startingOffsets": "earliest",
-            "endingOffsets": "earliest",
+            "endingOffsets": "latest",
+            "failOnDataLoss": "false",
         }
 
     def sample_options(self, topic: str) -> dict[str, str]:
@@ -104,19 +108,47 @@ class KafkaTopicConnector:
             r = r.option(k, v)
         return r
 
-    def test(self) -> bool:
-        """Connectivity check: can the metadata read reach the brokers?"""
+    def _admin_topics(self) -> list[str]:
+        """Topic names via the Kafka AdminClient (py4j; needs the
+        kafka-clients jar that ships with spark-sql-kafka). O(metadata) —
+        the direct analogue of the reference's ``consumer.listTopics()``
+        (``KafkaConnector.java:105-109``)."""
+        jvm = self.spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        props.put("bootstrap.servers", self.brokers)
+        for k, v in self.extra.items():
+            if k.startswith("kafka."):
+                props.put(k[len("kafka."):], v)
+        admin = jvm.org.apache.kafka.clients.admin.AdminClient.create(props)
         try:
-            self._reader(self.browse_options()).load().limit(0).collect()
+            names = admin.listTopics().names().get()
+            return sorted(names.toArray())
+        finally:
+            admin.close()
+
+    def test(self) -> bool:
+        """Connectivity check: can topic metadata be listed?"""
+        try:
+            self._admin_topics()
             return True
         except Exception:
-            return False
+            try:
+                self._reader(self.browse_options()).load().limit(0).collect()
+                return True
+            except Exception:
+                return False
 
     def browse(self) -> list[str]:
-        """Distinct topic names (the reference returns one entity per
-        topic with BROWSE/SAMPLE capabilities)."""
-        df = self._reader(self.browse_options()).load()
-        return sorted(r["topic"] for r in df.select("topic").distinct().collect())
+        """Topic names, one entity per topic (the reference's browse).
+
+        AdminClient metadata when the kafka-clients jar is present;
+        otherwise a bounded scan's distinct topic column (correct but
+        O(data) — only the fallback)."""
+        try:
+            return self._admin_topics()
+        except Exception:
+            df = self._reader(self.browse_options()).load()
+            return sorted(r["topic"] for r in df.select("topic").distinct().collect())
 
     def sample(self, topic: str, limit: int = 100) -> DataFrame:
         """Up to ``limit`` records of the topic's envelope columns."""

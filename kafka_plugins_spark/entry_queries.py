@@ -174,7 +174,7 @@ def q_media_byte_histogram(spark, sf):
     from kafka_plugins_spark.operators.multimodal import byte_histogram
 
     d = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("data")
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("data")
     )
     return byte_histogram(d, data_col="data", id_col="doc_id", bins=16)
 
@@ -182,19 +182,25 @@ def q_media_byte_histogram(spark, sf):
 _HEXPOS = "strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1"
 
 MEDIA_ORACLES = {
-    # bin of byte i == its high nibble == hex char 2i-1 of the blob's hex
+    # bin of byte i == its high nibble == hex char 2i-1 of the blob's hex;
+    # LEFT JOIN keeps empty/null-text docs as all-zero rows (the Spark
+    # featurizer emits n_bytes=0 + zero counts — unnest of an empty
+    # series would otherwise drop the doc and break row-count parity)
     "media_byte_histogram": f"""
         WITH blobs AS (
-            SELECT doc_id, lower(hex(encode(text))) AS hx,
-                   octet_length(encode(text))::BIGINT AS n_bytes
+            SELECT doc_id, lower(hex(encode(coalesce(text, '')))) AS hx,
+                   octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes
             FROM documents),
-        b AS (
-            SELECT doc_id, n_bytes,
-                   unnest(generate_series(1, n_bytes)) AS i, hx
-            FROM blobs)
-        SELECT doc_id, n_bytes,
-               {", ".join(f"count(*) FILTER ({_HEXPOS} = {k})::BIGINT AS h{k}" for k in range(16))}
-        FROM b GROUP BY doc_id, n_bytes
+        bytes AS (
+            SELECT doc_id, unnest(generate_series(1, n_bytes)) AS i, hx
+            FROM blobs WHERE n_bytes > 0),
+        h AS (
+            SELECT doc_id,
+                   {", ".join(f"count(*) FILTER ({_HEXPOS} = {k}) AS c{k}" for k in range(16))}
+            FROM bytes GROUP BY doc_id)
+        SELECT b.doc_id, b.n_bytes,
+               {", ".join(f"coalesce(h.c{k}, 0)::BIGINT AS h{k}" for k in range(16))}
+        FROM blobs b LEFT JOIN h USING (doc_id)
     """,
 }
 
@@ -684,9 +690,18 @@ DEDUP_ORACLES = {
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
+    # candidates come from sub-cap shingles only (mirrors the engine's
+    # max_shingle_freq=128 skew defense); Jaccard is over the FULL sets
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        {_JACCARD_TAIL}
+        freq AS (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle),
+        capped AS (SELECT s.doc_id, s.shingle FROM shingles s
+                   JOIN freq USING (shingle) WHERE f <= 128),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b USING (shingle)
+            WHERE a.doc_id < b.doc_id),
+        {_JACCARD_TAIL.replace('FROM inter i', 'FROM inter i JOIN cand USING (doc_a, doc_b)', 1)}
         WHERE round(i.n_common / (sa.sz + sb.sz - i.n_common), 4) >= 0.2
     """,
     "dedup_minhash_lsh": f"""

@@ -179,7 +179,9 @@ def decode_record(schema: Any, data: bytes | None) -> dict | None:
         if pos != len(data):
             raise AvroDecodeError("trailing bytes")
         return v
-    except (AvroDecodeError, UnicodeDecodeError):
+    except (AvroDecodeError, UnicodeDecodeError, OverflowError):
+        # OverflowError: a corrupt varint can decode a timestamp/date
+        # logical value past datetime.max — malformed, not fatal
         return None
 
 

@@ -247,6 +247,8 @@ def encode_avro(df: DataFrame, schema_json: str, payload_cols: list[str]) -> Dat
     (K1 for avro topics; also the fixture generator for round-trip
     tests). Pure-Python codec via ``mapInPandas`` — same batching shape
     as the decode fallback."""
+    import pandas as pd
+
     from kafka_plugins_spark.functions import avro_codec as ac
 
     avro_schema = ac.parse_schema(schema_json)
@@ -266,14 +268,35 @@ def encode_avro(df: DataFrame, schema_json: str, payload_cols: list[str]) -> Dat
     def _pyify(rec: dict) -> dict:
         out = {}
         for k, v in rec.items():
+            # pandas surfaces SQL NULL as NaN (numeric), NaT (timestamp),
+            # or None — all must become avro null, not a crash (a null in
+            # a nullable long column otherwise arrives as float NaN and
+            # matches no union branch) and never NaN-encoded doubles
+            if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
+                out[k] = None
+                continue
             if hasattr(v, "to_pydatetime"):  # pd.Timestamp
                 v = v.to_pydatetime()
             elif hasattr(v, "tolist"):  # np.ndarray (array columns)
                 v = v.tolist()
             elif hasattr(v, "item"):  # numpy scalar
                 v = v.item()
+            # a nullable int column materializes as float64: 5 → 5.0;
+            # restore the integral value so the union's long branch matches
+            if isinstance(v, float) and v.is_integer() and _int_field(k):
+                v = int(v)
             out[k] = v
         return out
+
+    int_fields = {
+        f["name"]
+        for f in (avro_schema.get("fields") or [])
+        for t in [f["type"]]
+        if "int" in str(t) or "long" in str(t)
+    }
+
+    def _int_field(name: str) -> bool:
+        return name in int_fields
 
     return df.mapInPandas(batches, out_schema)
 

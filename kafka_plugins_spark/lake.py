@@ -109,7 +109,12 @@ def _append_lineage_file(lineage_dir: str, rows: list[tuple]) -> None:
             "wall_ms": pa.array(cols[5], pa.int64()),
         }
     )
-    pq.write_table(table, os.path.join(lineage_dir, f"lineage-{uuid.uuid4().hex}.parquet"))
+    # tmp + atomic rename: a crash mid-write must not leave a torn
+    # parquet footer that breaks every subsequent read_lineage()
+    name = f"lineage-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(lineage_dir, f".tmp-{name}")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(lineage_dir, name))
 
 
 SYSTEM_FIELDS = [
@@ -565,15 +570,21 @@ class IcebergMergeBackend:
 
     # --- fence (pure, jar-free) -------------------------------------------
     def read_delivered(self, spark: SparkSession) -> dict[int, list[tuple[int, int]]]:
-        """Delivered intervals from the current snapshot's summary
-        (``<table>.snapshots`` metadata table; empty for a fresh table)."""
-        row = (
-            spark.sql(
-                f"SELECT summary FROM {self.table}.snapshots "
-                f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
-            ).collect()
-        )
-        return decode_summary_props(dict(row[0]["summary"])) if row else {}
+        """Delivered intervals from the NEWEST snapshot that carries fence
+        keys. Summary properties are per-snapshot, not inherited: a
+        snapshot produced outside :meth:`merge_into` (the compaction
+        DELETE, an external writer) has no ``kps.delivered.*`` keys, so
+        reading only the latest summary would silently erase the fence —
+        walk back to the most recent fenced snapshot instead."""
+        rows = spark.sql(
+            f"SELECT summary FROM {self.table}.snapshots "
+            f"ORDER BY committed_at DESC, snapshot_id DESC"
+        ).collect()
+        for row in rows:
+            delivered = decode_summary_props(dict(row["summary"]))
+            if delivered:
+                return delivered
+        return {}
 
     @staticmethod
     def commit_options(delivered: dict[int, list[tuple[int, int]]]) -> dict[str, str]:
@@ -657,12 +668,55 @@ class IcebergMergeBackend:
         winners.createOrReplaceTempView(view)
         payload = [c for c in winners.columns if c not in ("op", "partition", "offset")]
         new_delivered = advance_delivered(delivered, decision.effective_ranges)
-        for k, v in self.commit_options(new_delivered).items():
-            spark.conf.set(f"spark.sql.iceberg.{k}", v)
-        spark.sql(self.build_merge_sql(view, payload, hard_delete=hard_delete))
+        self._merge_with_commit_properties(
+            spark,
+            self.build_merge_sql(view, payload, hard_delete=hard_delete),
+            encode_summary_props(new_delivered),
+        )
         return CommitResult(
             skipped=False,
             rows_applied=-1,  # Iceberg reports via snapshot metrics
             ranges=decision.effective_ranges,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
+
+    def _merge_with_commit_properties(
+        self, spark: SparkSession, merge_sql: str, props: dict[str, str]
+    ) -> None:
+        """Run the MERGE with the fence props attached to ITS snapshot.
+
+        SQL writes don't see ``snapshot-property.*`` write options; the
+        supported channel for SQL is Iceberg's thread-local
+        ``CommitMetadata.withCommitProperties`` (Iceberg ≥ 1.2), which
+        py4j can't call directly (it takes a JVM Callable). So: set the
+        best-effort session-conf channel SCOPED to this call (set →
+        merge → unset, so nothing leaks to other tables sharing the
+        session), then VERIFY the fresh snapshot's summary actually
+        carries the fence keys — if not, raise instead of continuing
+        with a silently unfenced table (the failure mode would be
+        replayed batches re-merging and, under hard_delete, resurrecting
+        deleted keys; a loud error is strictly better). On a cluster,
+        wrap the MERGE in ``CommitMetadata.withCommitProperties`` from a
+        small JVM helper and this verification stays as the safety net.
+        """
+        keys = {f"spark.sql.iceberg.snapshot-property.{k}": v for k, v in props.items()}
+        try:
+            for key, v in keys.items():
+                spark.conf.set(key, v)
+            spark.sql(merge_sql)
+        finally:
+            for key in keys:
+                try:
+                    spark.conf.unset(key)
+                except Exception:
+                    pass
+        # Verify the fence actually landed on the new snapshot.
+        committed = self.read_delivered(spark)
+        want = decode_summary_props(props)
+        if committed != want:
+            raise RuntimeError(
+                f"fence properties missing from {self.table}'s new snapshot summary — "
+                "this Iceberg version ignores the session-conf channel; wire "
+                "CommitMetadata.withCommitProperties (Iceberg >= 1.2) around the MERGE. "
+                "Refusing to continue with an unfenced table."
+            )

@@ -142,3 +142,35 @@ _rec = st.fixed_dictionaries({
 def test_codec_roundtrip_property(rec):
     schema = ac.parse_schema(_SCHEMA_PROP)
     assert ac.decode_record(schema, ac.encode_record(schema, rec)) == rec
+
+
+def test_spark_avro_roundtrip_with_nulls(spark):
+    """Nullable columns: pandas NaN/NaT/None must round-trip as avro
+    null, including a null in a LONG column (which pandas floats)."""
+    sch = """{
+      "type": "record", "name": "n",
+      "fields": [
+        {"name": "a", "type": ["null", "long"]},
+        {"name": "b", "type": ["null", "double"]},
+        {"name": "c", "type": ["null", "string"]},
+        {"name": "t", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]}
+      ]
+    }"""
+    rows = [(1, 1.5, "x", dt.datetime(2024, 1, 1)),
+            (None, None, None, None),
+            (7, None, "y", dt.datetime(2024, 2, 2, 3, 4, 5))]
+    df = spark.createDataFrame(rows, "a long, b double, c string, t timestamp")
+    back = decode_value(encode_avro(df, sch, payload_cols=df.columns), "avro", schema=sch)
+    got = sorted(back.select("a", "b", "c", "t").collect(),
+                 key=lambda r: (r["a"] is None, r["a"] or 0))
+    want = sorted(df.collect(), key=lambda r: (r["a"] is None, r["a"] or 0))
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_corrupt_timestamp_varint_is_permissive():
+    """A varint decoding to a year-10000+ timestamp must yield None, not
+    an OverflowError escaping the task."""
+    sch = ac.parse_schema('{"type":"record","name":"t","fields":'
+                          '[{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}')
+    huge = ac.encode_record("long", 1 << 60)
+    assert ac.decode_record(sch, huge) is None

@@ -93,7 +93,7 @@ def test_topic_connector_option_construction(spark):
                             extra=kerberos_jaas_config("svc@REALM", "/keytabs/svc.kt"))
     b = c.browse_options()
     assert b["subscribePattern"] == ".*"
-    assert b["startingOffsets"] == "earliest" and b["endingOffsets"] == "earliest"
+    assert b["startingOffsets"] == "earliest" and b["endingOffsets"] == "latest"
     assert b["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
     assert b["kafka.sasl.mechanism"] == "GSSAPI"
     s = c.sample_options("transcripts")
