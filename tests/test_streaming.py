@@ -155,3 +155,33 @@ def test_late_event_not_lost_without_dedup(spark, tmp_path):
     s2.await_and_stop()
     rows = {r["conv_id"] for r in s2.table.read().collect()}
     assert rows == {"c1", "c2", "c3"}, "late event must not be lost on the default path"
+
+
+def test_stream_wire_format_decode_path(spark, tmp_path):
+    """Production shape: the stream yields Kafka wire rows (key/value
+    binary); S6 decode runs INSIDE the streaming DAG before resolve —
+    the converged table must match the plain-events replay."""
+    from kafka_plugins_spark.datagen import write_wire_events
+    from kafka_plugins_spark.functions.decode import decode_transcript_events
+    from kafka_plugins_spark.replay import replay
+
+    df = generate_events(spark, n_conversations=60, n_partitions=4, seed=21)
+    wire_dir = str(tmp_path / "wire")
+    write_wire_events(df, wire_dir)
+    plain_dir = str(tmp_path / "plain")
+    df.write.partitionBy("partition").parquet(plain_dir)
+
+    wire_schema = spark.read.parquet(wire_dir).schema
+    source = decode_transcript_events(
+        file_event_source(spark, wire_dir, wire_schema)
+    )
+    s = start_ingest_stream(
+        spark, source, str(tmp_path / "table"), str(tmp_path / "ckpt")
+    )
+    s.await_and_stop()
+
+    oracle_table, _ = replay(spark, plain_dir, str(tmp_path / "oracle_table"))
+    got = s.table.read().orderBy("conv_id", "turn_idx").toPandas()
+    want = oracle_table.read().orderBy("conv_id", "turn_idx").toPandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
