@@ -736,7 +736,59 @@ def q_ann_topk(spark, sf):
 
 
 def q_emb_neardup(spark, sf):
-    return sim.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+    # dim passed explicitly: no plan-time probe job (the testdata
+    # embeddings are 64-d). t=0.45 is far below the exact grid's pruning
+    # envelope (t ≳ 0.99 at 64-d) — result is exact and the plan an
+    # equi-join, but the candidate set is ~all pairs; the loose-threshold
+    # scale path is q_emb_neardup_ivf below.
+    return sim.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.45, dim=64)
+
+
+def q_emb_neardup_ivf(spark, sf):
+    """IVF-blocked near-dup — the loose-threshold scale path (approximate,
+    recall dialed by nprobe; candidates exact-verified so output ⊆ the
+    all-pairs result). Deterministic codebook ⇒ the DuckDB oracle
+    reproduces cell assignment + probing + verification exactly."""
+    return sim.embedding_neardup_pairs_ivf(
+        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, n_cells=8, nprobe=4
+    )
+
+
+def _emb_neardup_ivf_oracle_sql(
+    threshold: float = 0.45, dim: int = 64, n_cells: int = 8, nprobe: int = 4
+) -> str:
+    cent_rows = ",\n            ".join(
+        "({cid}, [{vals}]::DOUBLE[])".format(
+            cid=cid, vals=", ".join(repr(x) for x in cent)
+        )
+        for cid, cent in enumerate(sim.ivf_centroids(n_cells, dim))
+    )
+    return f"""
+        WITH cents(cid, v) AS (VALUES
+            {cent_rows}),
+        cscore AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(generate_series(1, {dim}),
+                        i -> e.embedding[i]::DOUBLE * c.v[i])) AS d
+            FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM cscore),
+        home AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+        probe AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= {nprobe}),
+        cand AS (
+            SELECT DISTINCT least(p.vec_id, h.vec_id) AS id_a,
+                            greatest(p.vec_id, h.vec_id) AS id_b
+            FROM probe p JOIN home h USING (cell)
+            WHERE p.vec_id <> h.vec_id)
+        SELECT id_a, id_b, score FROM (
+            SELECT c.id_a, c.id_b, {_COS} AS score
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.id_a
+            JOIN embeddings b ON b.vec_id = c.id_b)
+        WHERE score >= {threshold}
+    """
 
 
 def q_knn_label_vote(spark, sf):
@@ -866,6 +918,7 @@ SIM_ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_COS} >= 0.45
     """,
+    "emb_neardup_ivf": _emb_neardup_ivf_oracle_sql(),
     "knn_label_vote": f"""
         WITH scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label, {_COS} AS score
@@ -923,6 +976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "emb_neardup": q_emb_neardup,
+    "emb_neardup_ivf": q_emb_neardup_ivf,
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

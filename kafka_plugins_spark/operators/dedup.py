@@ -61,8 +61,22 @@ def word_shingles(
 def _verify_pairs(cands: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact Jaccard of candidate (doc_a, doc_b) pairs over the FULL
     shingle sets: expand each pair by doc_a's shingles, equi-join doc_b's
-    — O(|cands| · avg shingles), never the all-pairs intersection."""
+    — O(|cands| · avg shingles), never the all-pairs intersection.
+
+    The per-doc ``sizes`` relation is O(total documents) — at corpus
+    scale (10⁹ docs) a forced broadcast of it OOMs the driver. So it is
+    semi-joined down to the candidate doc ids FIRST (candidates are
+    small by construction — they survived blocking), and the final joins
+    carry no broadcast hint: AQE picks broadcast vs shuffle from the
+    *filtered* runtime size.
+    """
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes = sizes.join(cand_ids, "doc_id", "left_semi")
     a_sh = shingles.withColumnsRenamed({"doc_id": "doc_a"})
     b_sh = shingles.withColumnsRenamed({"doc_id": "doc_b"})
     inter = (
@@ -72,8 +86,8 @@ def _verify_pairs(cands: DataFrame, shingles: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})), "doc_b")
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -91,9 +105,12 @@ def _pair_jaccard(shingles: DataFrame, max_shingle_freq: int | None = None) -> D
     """
     sh = shingles
     if max_shingle_freq is not None:
+        # the sub-cap shingle list is O(distinct shingles) — never force-
+        # broadcast it; a semi-join shuffles on the shingle key (sort-merge
+        # at corpus scale, AQE-broadcast when it happens to be small)
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_f"))
         sh = sh.join(
-            F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq).drop("_f")), "shingle"
+            freq.filter(F.col("_f") <= max_shingle_freq).drop("_f"), "shingle", "left_semi"
         )
     a = sh.alias("a")
     b = sh.alias("b")

@@ -259,25 +259,19 @@ def _grid_cells(vec_col: str, dim: int, threshold: float, k: int) -> list[Column
     return cells
 
 
-def embedding_neardup_pairs(
+def neardup_grid_candidates(
     emb: DataFrame,
-    threshold: float = 0.9,
+    threshold: float,
+    dim: int,
+    k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 2,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold — grid-blocked, exact.
-
-    The scale shape: each vector lands in one k-dim grid cell (see
-    :func:`_grid_cells`); one side multiprobes its 3^k neighbor cells and
-    the candidate join is a plain equi-join on the composite cell key —
-    no CartesianProduct, bounded fan-out, and provably every qualifying
-    pair collides. Candidates are verified with the exact rounded cosine,
-    so output ≡ the all-pairs cross join. Filtering power grows with the
-    threshold (w ∝ √(1−t)); at near-dup thresholds (≥0.9) cells are
-    tight and the join touches a tiny candidate set.
-    """
-    dim = len(emb.select(vec_col).first()[0])
+    """Grid-blocked candidate pairs (id_a < id_b) — every pair with
+    cosine ≥ threshold is guaranteed present (recall 1, see
+    :func:`_grid_cells`). Exposed separately so tests and capacity
+    planning can measure the candidate ratio |cands| / (n·(n−1)/2)
+    directly — the blocking's pruning power."""
     cells = _grid_cells(vec_col, dim, threshold, k)
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *cells)
 
@@ -288,11 +282,115 @@ def embedding_neardup_pairs(
             f"_cell{j}", F.explode(F.array(*[F.col(f"_cell{j}") + o for o in (-1, 0, 1)]))
         )
     cell_keys = [f"_cell{j}" for j in range(k)]
-    cands = (
+    return (
         probed.select(F.col("_id").alias("id_a"), *cell_keys)
         .join(base.select(F.col("_id").alias("id_b"), *cell_keys), cell_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold — grid-blocked, exact.
+
+    The scale shape: each vector lands in one k-dim grid cell (see
+    :func:`_grid_cells`); one side multiprobes its 3^k neighbor cells and
+    the candidate join is a plain equi-join on the composite cell key —
+    no CartesianProduct, bounded fan-out, and provably every qualifying
+    pair collides. Candidates are verified with the exact rounded cosine,
+    so output ≡ the all-pairs cross join.
+
+    ``dim``: pass the vector dimensionality explicitly (pipelines know
+    it) — when omitted, a one-row probe job runs at plan-construction
+    time, an extra Spark job the hot path shouldn't pay; an empty input
+    returns an empty frame rather than failing the probe.
+
+    OPERATING ENVELOPE (measured, tests/test_training_ops.py): the
+    recall-1 cell width is the worst-case (Cauchy–Schwarz) bound
+    w ∝ √(1−t), while 64-d unit vectors concentrate their projections in
+    a ±3/√dim band — so exact blocking only *prunes* when
+    √(2(1−t)) ≲ 1/√dim, i.e. t ≳ 0.99 at dim=64 (candidate ratio ~0.37
+    at t=0.99/k=4, ~0.03 at t=0.999/k=4, ~1.0 for every k at t ≤ 0.95 on
+    an isotropic corpus). That is the true near-duplicate regime — byte-
+    near-identical docs embed at cosine ≈ 1. The plan stays an equi-join
+    at any threshold (never a CartesianProduct), but below the envelope
+    the candidate set itself degenerates toward all-pairs: for loose
+    thresholds use :func:`embedding_neardup_pairs_ivf` (approximate,
+    recall dial) instead — exactness below the envelope is inherently
+    quadratic on high-dim data.
+
+    ``k`` (projection count): each projection multiplies candidate
+    occupancy down but costs 3^k probe fan-out; auto-policy pays k=4
+    only inside the envelope (t ≥ 0.98) where projections actually
+    prune, and the minimal k=2 outside it.
+    """
+    if k is None:
+        k = 4 if threshold >= 0.98 else 2
+    if dim is None:
+        row = emb.select(vec_col).first()
+        if row is None or row[0] is None:
+            return emb.sparkSession.createDataFrame(
+                [], f"id_a {emb.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {emb.schema[id_col].dataType.simpleString()}, score double"
+            )
+        dim = len(row[0])
+    cands = neardup_grid_candidates(emb, threshold, dim, k, vec_col=vec_col, id_col=id_col)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("score", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def embedding_neardup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold — IVF-blocked,
+    APPROXIMATE (recall < 1 by construction, dialable via ``nprobe``).
+
+    The loose-threshold companion to :func:`embedding_neardup_pairs`:
+    below that operator's exactness envelope (t ≲ 0.98 at dim=64) any
+    recall-1 blocking admits ~all pairs, so the scale path trades recall
+    for a bounded candidate set. Candidates are pairs sharing an IVF
+    cell — (a, b) survives iff b's home cell is among a's ``nprobe``
+    nearest cells or vice versa — then verified with the exact rounded
+    cosine, so false positives are impossible and output ⊆ the all-pairs
+    result. ``nprobe = n_cells`` degenerates to exact (every pair is a
+    candidate). At scale the cell is a partition/cluster key: the
+    candidate join is a plain equi-join touching each cell's files only,
+    and a trained (k-means) codebook replaces the deterministic one.
+    """
+    cents = ivf_centroids(n_cells, dim)
+    ranking = ivf_cell_ranking(vec_col, cents)
+    home = emb.select(F.col(id_col).alias("id_b"), ranking.getItem(0).alias("_cell"))
+    probes = emb.select(
+        F.col(id_col).alias("id_a"), F.explode(F.slice(ranking, 1, nprobe)).alias("_cell")
+    )
+    cands = (
+        probes.join(home, "_cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))

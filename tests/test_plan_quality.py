@@ -79,6 +79,23 @@ def test_offset_scan_partition_pruning(spark, events_path):
     assert df.select("partition").distinct().count() == 1
 
 
+def test_dedup_verify_no_forced_broadcast(spark):
+    """The per-doc sizes relation is O(corpus) — verify_pairs must not
+    carry a broadcast HINT on it (a forced broadcast of per-doc counts
+    OOMs at 10⁹ docs). The sizes relation must instead be semi-joined
+    down to the candidate ids before the final joins; strategy is then
+    AQE's runtime call, not a plan-time force."""
+    from kafka_plugins_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (minhash_lsh_pairs(docs), ngram_jaccard_pairs(docs)):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        # no user-forced broadcast hints anywhere in the dedup plans
+        assert "strategy=broadcast" not in optimized
+        # the sizes restriction is a semi-join (candidates ⋉ sizes)
+        assert "LeftSemi" in optimized
+
+
 def test_emb_neardup_no_cartesian(spark):
     """Near-dup pairs must be a cell-key equi-join (+ exact verify), not
     an all-pairs cartesian — the shape that survives 100 TB."""

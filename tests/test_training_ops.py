@@ -157,3 +157,65 @@ def test_ann_ivf_recall_dial(spark):
         assert recall >= last - 1e-9, f"recall must not shrink as nprobe grows ({nprobe})"
         last = recall
     assert recall == 1.0, "probing every cell must reproduce the exact top-k"
+
+
+def test_neardup_dim_param_and_empty_input(spark):
+    """dim passed explicitly ⇒ no plan-time probe job; empty input with
+    no dim ⇒ empty result, not a TypeError from first()."""
+    from pyspark.sql import types as T
+
+    from kafka_plugins_spark.operators.similarity import embedding_neardup_pairs
+
+    e = emb(spark)
+    with_dim = embedding_neardup_pairs(e, threshold=0.45, dim=64)
+    no_dim = embedding_neardup_pairs(e, threshold=0.45)
+    assert {tuple(r) for r in with_dim.collect()} == {tuple(r) for r in no_dim.collect()}
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+    )
+    assert embedding_neardup_pairs(empty, threshold=0.45).count() == 0
+
+
+def test_neardup_grid_envelope(spark):
+    """Pin the measured operating envelope of the exact grid blocking:
+    INSIDE the envelope (t=0.99, auto k=4) the candidate ratio is
+    bounded; at loose thresholds no recall-1 blocking can prune 64-d
+    data (documented — the loose-t scale path is the IVF variant)."""
+    from kafka_plugins_spark.operators.similarity import neardup_grid_candidates
+
+    e = emb(spark)
+    n = e.count()
+    all_pairs = n * (n - 1) / 2
+    n_k4 = neardup_grid_candidates(e, threshold=0.99, dim=64, k=4).count()
+    assert n_k4 / all_pairs <= 0.60, f"candidate ratio {n_k4 / all_pairs:.2f} exceeds envelope"
+    # the dial is monotone: more projections ⇒ no more candidates
+    n_k2 = neardup_grid_candidates(e, threshold=0.99, dim=64, k=2).count()
+    assert n_k4 <= n_k2
+
+
+def test_neardup_ivf_subset_and_recall_dial(spark):
+    """IVF near-dup: verified candidates ⇒ subset of exact; recall grows
+    with nprobe; nprobe=n_cells reproduces the exact pair set."""
+    from kafka_plugins_spark.operators.similarity import (
+        embedding_neardup_pairs_exact,
+        embedding_neardup_pairs_ivf,
+    )
+
+    e = emb(spark)
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs_exact(e, 0.45).collect()}
+    assert exact
+    last = -1.0
+    for nprobe in (1, 4, 8):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs_ivf(e, 0.45, dim=64, n_cells=8, nprobe=nprobe).collect()
+        }
+        assert got <= exact
+        recall = len(got & exact) / len(exact)
+        assert recall >= last - 1e-9
+        last = recall
+    assert recall == 1.0, "probing every cell must reproduce the exact pair set"
