@@ -288,11 +288,22 @@ def encode_avro(df: DataFrame, schema_json: str, payload_cols: list[str]) -> Dat
             out[k] = v
         return out
 
+    def _is_integral_type(t) -> bool:
+        """Structural check: does (a branch of) this avro type resolve to
+        primitive int/long WITHOUT a time logicalType? A substring test
+        over the type JSON misfires on any named type merely containing
+        "int" (e.g. a fixed called "fingerprint") and on timestamp
+        logicals, which arrive as datetimes, not floats."""
+        if isinstance(t, list):  # union — any integral branch
+            return any(_is_integral_type(b) for b in t)
+        if isinstance(t, dict):
+            if t.get("logicalType"):
+                return False
+            return t.get("type") in ("int", "long")
+        return t in ("int", "long")
+
     int_fields = {
-        f["name"]
-        for f in (avro_schema.get("fields") or [])
-        for t in [f["type"]]
-        if "int" in str(t) or "long" in str(t)
+        f["name"] for f in (avro_schema.get("fields") or []) if _is_integral_type(f["type"])
     }
 
     def _int_field(name: str) -> bool:

@@ -565,26 +565,110 @@ class IcebergMergeBackend:
     so the cursor can never run ahead of (or behind) the data.
     """
 
+    #: probe summary key — deliberately NOT under SUMMARY_PREFIX, so the
+    #: fence decoder (which parses a partition int after the prefix)
+    #: never sees it
+    PROBE_KEY = "kps.channel-probe"
+
     def __init__(self, table_identifier: str):
         self.table = table_identifier
+        # set once the snapshot-property channel is proven to work on
+        # this table (a fenced ancestor exists, or the probe succeeded)
+        self._channel_verified = False
 
     # --- fence (pure, jar-free) -------------------------------------------
+    @staticmethod
+    def pick_delivered(snapshots: DataFrame, history: DataFrame) -> dict[int, list[tuple[int, int]]]:
+        """Delivered intervals from the newest CURRENT-ANCESTRY snapshot
+        that carries fence keys (offline-testable core of
+        :meth:`read_delivered`).
+
+        Two traps this guards, both data loss if missed:
+
+        - Summary properties are per-snapshot, not inherited: a snapshot
+          produced outside :meth:`merge_into` (a compaction DELETE, an
+          external writer) has no ``kps.delivered.*`` keys, so reading
+          only the latest summary would silently erase the fence — walk
+          back to the most recent *fenced* snapshot.
+        - ``.snapshots`` lists ALL snapshots, including ones that are not
+          ancestors of the current table state (after a
+          ``rollback_to_snapshot``, or on another branch). Reading the
+          fence from an abandoned lineage marks rolled-back offset ranges
+          as still delivered, so their re-ingest is silently skipped.
+          Restrict to ``.history`` rows with ``is_current_ancestor``.
+
+        The fence filter + order + LIMIT 1 run engine-side — only one
+        summary row is ever collected, not unbounded history.
+        """
+        ancestors = (
+            history.filter(F.col("is_current_ancestor"))
+            .select("snapshot_id")
+            .distinct()  # .history can list a snapshot once per made-current event
+        )
+        rows = (
+            snapshots.join(ancestors, "snapshot_id")
+            .filter(
+                F.exists(
+                    F.map_keys(F.col("summary")), lambda k: k.startswith(SUMMARY_PREFIX)
+                )
+            )
+            .orderBy(F.col("committed_at").desc(), F.col("snapshot_id").desc())
+            .limit(1)
+            .select("summary")
+            .collect()
+        )
+        if not rows:
+            return {}
+        return decode_summary_props(dict(rows[0]["summary"]))
+
     def read_delivered(self, spark: SparkSession) -> dict[int, list[tuple[int, int]]]:
-        """Delivered intervals from the NEWEST snapshot that carries fence
-        keys. Summary properties are per-snapshot, not inherited: a
-        snapshot produced outside :meth:`merge_into` (the compaction
-        DELETE, an external writer) has no ``kps.delivered.*`` keys, so
-        reading only the latest summary would silently erase the fence —
-        walk back to the most recent fenced snapshot instead."""
-        rows = spark.sql(
+        """Delivered intervals of the current table state (see
+        :meth:`pick_delivered` for the ancestry + walk-back rules)."""
+        return self.pick_delivered(
+            spark.read.table(f"{self.table}.snapshots"),
+            spark.read.table(f"{self.table}.history"),
+        )
+
+    def probe_fence_channel(self, spark: SparkSession) -> None:
+        """Feature-detect the ``spark.sql.iceberg.snapshot-property.*``
+        session-conf channel BEFORE the first data MERGE.
+
+        On an Iceberg version that ignores that channel, detecting it only
+        *after* a MERGE leaves the data commit unfenced before the
+        RuntimeError — and with ``hard_delete=True`` a subsequent replay
+        can re-insert hard-deleted keys (no stored ``_offset`` left to
+        guard) until manually reconciled. So: commit a zero-row append
+        carrying a probe token through the same channel, and refuse up
+        front if the token does not land in the new snapshot's summary.
+        The append is metadata-only (no data files) and does not change
+        table contents; the post-commit verification in
+        :meth:`_merge_with_commit_properties` stays as the safety net.
+        """
+        token = uuid.uuid4().hex
+        conf_key = f"spark.sql.iceberg.snapshot-property.{self.PROBE_KEY}"
+        spark.conf.set(conf_key, token)
+        try:
+            spark.createDataFrame([], spark.table(self.table).schema).writeTo(
+                self.table
+            ).append()
+        finally:
+            try:
+                spark.conf.unset(conf_key)
+            except Exception:
+                pass
+        row = spark.sql(
             f"SELECT summary FROM {self.table}.snapshots "
-            f"ORDER BY committed_at DESC, snapshot_id DESC"
+            f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
         ).collect()
-        for row in rows:
-            delivered = decode_summary_props(dict(row["summary"]))
-            if delivered:
-                return delivered
-        return {}
+        if not row or dict(row[0]["summary"]).get(self.PROBE_KEY) != token:
+            raise RuntimeError(
+                f"{self.table}: this Iceberg version ignores the "
+                "spark.sql.iceberg.snapshot-property.* session-conf channel — "
+                "refusing to run the first data MERGE unfenced. Wire "
+                "CommitMetadata.withCommitProperties (Iceberg >= 1.2) around "
+                "the MERGE (see _merge_with_commit_properties docstring)."
+            )
+        self._channel_verified = True
 
     @staticmethod
     def commit_options(delivered: dict[int, list[tuple[int, int]]]) -> dict[str, str]:
@@ -657,6 +741,11 @@ class IcebergMergeBackend:
         if ranges is None:
             ranges = compute_ranges(winners)
         delivered = self.read_delivered(spark)
+        if delivered:
+            # a fenced ancestor exists ⇒ the channel demonstrably works
+            self._channel_verified = True
+        elif not self._channel_verified:
+            self.probe_fence_channel(spark)
         decision = fence_decision(ranges, delivered)
         if decision.skip:
             return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
@@ -698,6 +787,32 @@ class IcebergMergeBackend:
         deleted keys; a loud error is strictly better). On a cluster,
         wrap the MERGE in ``CommitMetadata.withCommitProperties`` from a
         small JVM helper and this verification stays as the safety net.
+
+        The complete helper to ship with the job jar (``--jars``)::
+
+            package kps;
+            import java.util.Map;
+            import java.util.concurrent.Callable;
+            import org.apache.iceberg.spark.CommitMetadata;
+            import org.apache.spark.sql.SparkSession;
+
+            public final class FencedSql {
+                /** Runs `sql` with `props` attached to the snapshot(s) it
+                 *  commits — the supported channel for SQL writes. */
+                public static void run(SparkSession spark, String sql,
+                                       Map<String, String> props) throws Exception {
+                    CommitMetadata.withCommitProperties(
+                        props,
+                        (Callable<Void>) () -> { spark.sql(sql); return null; },
+                        Exception.class);
+                }
+            }
+
+        and from this method, replace the conf-channel block with::
+
+            jm = spark._jvm.java.util.HashMap()
+            for k, v in props.items(): jm.put(k, v)
+            spark._jvm.kps.FencedSql.run(spark._jsparkSession, merge_sql, jm)
         """
         keys = {f"spark.sql.iceberg.snapshot-property.{k}": v for k, v in props.items()}
         try:

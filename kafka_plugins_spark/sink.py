@@ -91,10 +91,6 @@ def produce_to_log(
     by ``partition`` — the same on-disk shape datagen produces, so the
     batch source can re-read what the sink wrote (round-trip tests)."""
     key = F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
-    if key_col:
-        part = keyed_partition_expr(key_col, num_partitions)
-    else:
-        part = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_partitions)).cast("int")
     value = (
         F.to_json(F.struct(*[F.col(c) for c in df.columns]))
         if fmt == "json"
@@ -104,6 +100,15 @@ def produce_to_log(
             else F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
         )
     )
+    if key_col:
+        part = keyed_partition_expr(key_col, num_partitions)
+    else:
+        # "round-robin" = load-balanced, and it must be DETERMINISTIC
+        # under task retry: hash the serialized payload, never
+        # monotonically_increasing_id (which depends on the partition
+        # layout of the attempt, so a retried task could send the same
+        # record to two partitions across attempts)
+        part = F.pmod(F.xxhash64(value), F.lit(num_partitions)).cast("int")
     out = df.select(key.alias("key"), value.alias("value"), part.alias("partition"))
     w = Window.partitionBy("partition").orderBy(F.col("key").asc_nulls_first(), "value")
     out = out.withColumn("offset", (F.row_number().over(w) - 1).cast("long"))

@@ -174,3 +174,28 @@ def test_corrupt_timestamp_varint_is_permissive():
                           '[{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}')
     huge = ac.encode_record("long", 1 << 60)
     assert ac.decode_record(sch, huge) is None
+
+
+def test_encode_int_detection_is_structural(spark):
+    """A float field whose TYPE JSON merely contains the substring "int"
+    (a fixed named "fingerprint") must NOT be int-coerced, and timestamp
+    logicals must stay datetimes. Regression for the substring test."""
+    sch = """{
+      "type": "record", "name": "t", "fields": [
+        {"name": "score", "type": {"type": "fixed", "name": "fingerprint_int", "size": 4}},
+        {"name": "ratio", "type": ["null", "double"]},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}
+      ]}"""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(bytearray(b"\x01\x02\x03\x04"), 2.5, 7, datetime.datetime(2026, 1, 2, 3, 4, 5))],
+        "score binary, ratio double, n long, ts timestamp",
+    )
+    wire = encode_avro(df, sch, payload_cols=df.columns)
+    back = decode_value(wire, "avro", schema=sch)
+    row = back.collect()[0]
+    assert bytes(row["score"]) == b"\x01\x02\x03\x04"
+    assert row["ratio"] == 2.5 and row["n"] == 7
+    assert row["ts"] == datetime.datetime(2026, 1, 2, 3, 4, 5)

@@ -212,3 +212,23 @@ def test_dead_letters_any_required_null(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_dead_letters(decoded, [])
+
+
+def test_unkeyed_produce_deterministic_across_layouts(spark, tmp_path):
+    """Unkeyed ("round-robin") partitioning must be a pure function of
+    the record — identical assignment regardless of how the input is
+    partitioned (the task-retry recomputation scenario)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"payload-{i}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, body string").repartition(3)
+    b = spark.createDataFrame(rows, "id long, body string").repartition(11)
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    produce_to_log(a, pa_, key_col=None, num_partitions=4)
+    produce_to_log(b, pb, key_col=None, num_partitions=4)
+    ra = {(r["value"], r["partition"]) for r in spark.read.parquet(pa_).collect()}
+    rb = {(r["value"], r["partition"]) for r in spark.read.parquet(pb).collect()}
+    assert ra == rb
+    # and it actually balances
+    n_parts = spark.read.parquet(pa_).select("partition").distinct().count()
+    assert n_parts == 4

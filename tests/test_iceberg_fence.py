@@ -110,3 +110,164 @@ def test_merge_sql_hard_delete_clause():
 def test_commit_options_prefix():
     opts = IcebergMergeBackend.commit_options({0: [(0, 10)]})
     assert opts == {"snapshot-property.kps.delivered.0": "[[0, 10]]"}
+
+
+# --- read_delivered ancestry + walk-back (synthetic metadata tables) -----
+
+import datetime
+
+from pyspark.sql import types as T
+
+SNAP_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+        T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("is_current_ancestor", T.BooleanType()),
+    ]
+)
+
+
+def _ts(i):
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(minutes=i)
+
+
+def test_pick_delivered_walks_past_unfenced_snapshot(spark):
+    """A compaction/external snapshot carries no fence keys — the fence
+    must come from the newest FENCED ancestor, not read as erased."""
+    snaps = spark.createDataFrame(
+        [
+            (1, _ts(1), encode_summary_props({0: [(0, 100)]})),
+            (2, _ts(2), {"operation": "delete"}),  # compaction, unfenced
+        ],
+        SNAP_SCHEMA,
+    )
+    hist = spark.createDataFrame([(1, True), (2, True)], HIST_SCHEMA)
+    assert IcebergMergeBackend.pick_delivered(snaps, hist) == {0: [(0, 100)]}
+
+
+def test_pick_delivered_ignores_rolled_back_lineage(spark):
+    """After rollback_to_snapshot, snapshots off the current ancestry
+    still appear in .snapshots — reading their fence would mark the
+    rolled-back ranges delivered and silently skip re-ingest."""
+    snaps = spark.createDataFrame(
+        [
+            (1, _ts(1), encode_summary_props({0: [(0, 100)]})),
+            # newer + fenced, but abandoned by a rollback:
+            (2, _ts(2), encode_summary_props({0: [(0, 500)]})),
+        ],
+        SNAP_SCHEMA,
+    )
+    hist = spark.createDataFrame([(1, True), (2, False)], HIST_SCHEMA)
+    assert IcebergMergeBackend.pick_delivered(snaps, hist) == {0: [(0, 100)]}
+    # re-made-current later ⇒ duplicate history rows must not double-read
+    hist2 = spark.createDataFrame([(1, True), (1, True), (2, False)], HIST_SCHEMA)
+    assert IcebergMergeBackend.pick_delivered(snaps, hist2) == {0: [(0, 100)]}
+
+
+def test_pick_delivered_empty_when_no_fenced_ancestor(spark):
+    snaps = spark.createDataFrame([(1, _ts(1), {"operation": "append"})], SNAP_SCHEMA)
+    hist = spark.createDataFrame([(1, True)], HIST_SCHEMA)
+    assert IcebergMergeBackend.pick_delivered(snaps, hist) == {}
+
+
+# --- fence-channel feature detection (fake session, jar-free) ------------
+
+class _FakeConf:
+    def __init__(self):
+        self.store = {}
+
+    def set(self, k, v):
+        self.store[k] = v
+
+    def unset(self, k):
+        self.store.pop(k, None)
+
+
+class _FakeResult:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
+class _FakeWriteBuilder:
+    def __init__(self, session):
+        self._session = session
+
+    def writeTo(self, table):
+        return self
+
+    def append(self):
+        self._session.commit_snapshot()
+
+
+class _FakeIcebergSession:
+    """Just enough session surface for probe_fence_channel: conf, an
+    empty append that commits a snapshot, and `.snapshots` SQL."""
+
+    def __init__(self, channel_works: bool):
+        self.conf = _FakeConf()
+        self.channel_works = channel_works
+        self.summaries = []
+
+    def table(self, name):
+        import types as _types
+
+        return _types.SimpleNamespace(schema="conv_id string")
+
+    def createDataFrame(self, data, schema):
+        return _FakeWriteBuilder(self)
+
+    def commit_snapshot(self):
+        prefix = "spark.sql.iceberg.snapshot-property."
+        props = (
+            {k[len(prefix):]: v for k, v in self.conf.store.items() if k.startswith(prefix)}
+            if self.channel_works
+            else {}
+        )
+        self.summaries.append(props)
+
+    def sql(self, q):
+        if not self.summaries:
+            return _FakeResult([])
+        return _FakeResult([{"summary": self.summaries[-1]}])
+
+
+def test_probe_accepts_working_channel():
+    b = IcebergMergeBackend("lake.db.t")
+    s = _FakeIcebergSession(channel_works=True)
+    b.probe_fence_channel(s)
+    assert b._channel_verified
+    assert s.conf.store == {}, "probe conf key must not leak to later commits"
+
+
+def test_probe_refuses_broken_channel_before_any_merge():
+    import pytest
+
+    b = IcebergMergeBackend("lake.db.t")
+    s = _FakeIcebergSession(channel_works=False)
+    with pytest.raises(RuntimeError, match="refusing to run the first data MERGE"):
+        b.probe_fence_channel(s)
+    assert not b._channel_verified
+    assert s.conf.store == {}
+
+
+def test_post_commit_verification_raises_on_missing_fence(monkeypatch):
+    """Safety net: if the MERGE committed but the fence keys are absent
+    from the fresh snapshot, the backend must raise loudly."""
+    import pytest
+
+    b = IcebergMergeBackend("lake.db.t")
+    s = _FakeIcebergSession(channel_works=False)
+    monkeypatch.setattr(b, "read_delivered", lambda spark: {})
+    with pytest.raises(RuntimeError, match="fence properties missing"):
+        b._merge_with_commit_properties(
+            s, "MERGE INTO lake.db.t ...", encode_summary_props({0: [(0, 10)]})
+        )
