@@ -179,6 +179,23 @@ def q_media_byte_histogram(spark, sf):
     return byte_histogram(d, data_col="data", id_col="doc_id", bins=16)
 
 
+def q_media_png_decode(spark, sf):
+    """REAL image decode, driver-verified end-to-end: per document,
+    synthesize a greyscale PNG whose pixel j is (doc_id*7 + j) % 256
+    (dims/filter derived from doc_id, every PNG filter type exercised),
+    then DECODE it with the pure zlib+numpy codec and emit integer
+    pixel stats. The oracle recomputes the stats from the closed-form
+    pixel rule — it matches iff decode(encode(pixels)) == pixels for
+    every image."""
+    from kafka_plugins_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_png_table,
+    )
+
+    ids = _t(spark, sf, "documents").select("doc_id")
+    return image_pixel_stats(synthesize_png_table(ids), id_col="doc_id")
+
+
 _HEXPOS = "strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1"
 
 MEDIA_ORACLES = {
@@ -201,6 +218,24 @@ MEDIA_ORACLES = {
         SELECT b.doc_id, b.n_bytes,
                {", ".join(f"coalesce(h.c{k}, 0)::BIGINT AS h{k}" for k in range(16))}
         FROM blobs b LEFT JOIN h USING (doc_id)
+    """,
+    # mirrors synthesize_png_table's pixel rule: h=6+id%4, w=8+id%5,
+    # pixel j = (id*7 + j) % 256 over j in [0, h·w)
+    "media_png_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   (6 + doc_id % 4)::INT AS height,
+                   (8 + doc_id % 5)::INT AS width
+            FROM documents),
+        px AS (
+            SELECT d.doc_id, d.height, d.width,
+                   (d.doc_id * 7 + t.j) % 256 AS v
+            FROM dims d, UNNEST(generate_series(0, d.height * d.width - 1)) AS t(j))
+        SELECT doc_id, height, width,
+               sum(v)::BIGINT AS pixel_sum,
+               min(v)::BIGINT AS pixel_min,
+               max(v)::BIGINT AS pixel_max
+        FROM px GROUP BY doc_id, height, width
     """,
 }
 
@@ -325,6 +360,29 @@ def q_customers_without_orders(spark, sf):
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_customers_lapsed(spark, sf):
+    """Anti join WITH teeth (customers_without_orders is vacuously empty
+    at the driver's sf — every customer has orders): customers with no
+    order since 2000-01-01, plus lifetime order count and last order
+    date, so the value hash constrains the anti-join AND the agg. The
+    date filter pushes into the orders scan; both joins are key
+    equi-joins (AQE broadcasts the filtered side when small)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    lapsed = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.max("o_orderdate").alias("last_order")
+    )
+    return lapsed.join(stats, lapsed.c_custkey == stats.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "last_order",
+    )
+
+
 def q_active_customer_balance(spark, sf):
     """Semi join + agg: balance stats of customers WITH orders, by segment."""
     cust = _t(spark, sf, "customer")
@@ -374,6 +432,18 @@ REL_ORACLES = {
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customers_lapsed": """
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               coalesce(s.n_orders, 0)::BIGINT AS n_orders, s.last_order
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+                          max(o_orderdate) AS last_order
+                   FROM orders GROUP BY o_custkey) s
+          ON s.o_custkey = c.c_custkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     """,
     "active_customer_balance": """
         SELECT c_mktsegment,
@@ -955,8 +1025,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,
+    "media_png_decode": q_media_png_decode,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,
+    "customers_lapsed": q_customers_lapsed,
     "active_customer_balance": q_active_customer_balance,
     "event_type_pivot": q_event_type_pivot,
     "lineitem_cube": q_lineitem_cube,
