@@ -11,9 +11,14 @@ scaling() for why not 8/32 on this host) on the same tmpfs-staged input,
 interleaved with a pure-CPU per-round control, and writes
 BENCH/scaling_runs.md with per-round engine + control efficiencies.
 
+--stretch mode: one ~sf1-scale datapoint (10× event log) with the same
+replay protocol — guards the sf0.1-chosen tuning against overfit; writes
+BENCH/stretch.md.
+
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
     python bench.py --scaling
+    python bench.py --stretch [--multiplier 10]
     python bench.py --replay-only --cores 8 --events /tmp/x  (internal)
 """
 
@@ -41,6 +46,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_topk",
     "knn_label_vote",
+    "emb_neardup_ivf",
+    "media_png_decode",
 ]
 
 
@@ -163,6 +170,49 @@ def full_bench(sf_dir: str, cores: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
     out["queries"] = qtimes
+    return out
+
+
+def stretch(sf_dir: str, cores: int, multiplier: int = 10) -> dict:
+    """One ~sf1-scale datapoint: the identical replay job on a 10× event
+    log (≈31M events when sf_dir is sf0.1). The split-size/AQE tuning was
+    chosen at sf0.1 — this guards against sandbox overfit by showing
+    throughput and plan shapes hold as the input outgrows the tuning.
+    Time-capped best-of-2; writes BENCH/stretch.md."""
+    from kafka_plugins_spark.session import get_spark
+
+    spark = get_spark("bench-stretch", cores=cores)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out: dict = {"multiplier": multiplier, "cores": cores, "sf": _sf_value(sf_dir)}
+    with tempfile.TemporaryDirectory(prefix="bench_stretch_", dir=base) as work:
+        ev = f"{work}/events"
+        n = _gen_events(spark, sf_dir, ev, multiplier=multiplier)
+        reps, spent = [], 0.0
+        for i in range(2):
+            r = _run_replay(spark, ev, f"{work}/table{i}", warmup=(i == 0))
+            reps.append(r)
+            spent += r["replay_sec"]
+            if spent > 300:
+                break
+        rep = max(reps, key=lambda r: r["events_per_sec"])
+        rep["all_runs_events_per_sec"] = [r["events_per_sec"] for r in reps]
+        out["cdc_replay"] = rep
+        out["n_events"] = n
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "stretch.md"), "w") as fh:
+        fh.write(
+            "# BENCH — sf1-scale stretch datapoint\n\n"
+            f"Identical replay job (wire scan → JSON decode → LWW resolve → fenced\n"
+            f"merge) on a {multiplier}× event log: **{n} events**, local[{cores}],\n"
+            "tmpfs-staged, best-of-2 time-capped (same protocol as the headline).\n\n"
+            f"| n_events | replay (s) | events/sec | ev/cpu-s | all runs |\n"
+            f"|---|---|---|---|---|\n"
+            f"| {n} | {rep['replay_sec']} | {rep['events_per_sec']} | "
+            f"{rep['events_per_cpu_sec']} | {rep['all_runs_events_per_sec']} |\n\n"
+            "Compare against the sf0.1 headline in the latest BENCH_r*.json —\n"
+            "the tuning (8 MB splits, AQE advisory) was chosen at sf0.1; this\n"
+            "shows sustained events/sec at 10× that input.\n"
+        )
     return out
 
 
@@ -359,6 +409,8 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stretch", action="store_true")
+    ap.add_argument("--multiplier", type=int, default=10)
     ap.add_argument("--pair", default="2,8", help="N,4N core counts for --scaling")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--replay-only", action="store_true")
@@ -375,6 +427,9 @@ def main() -> int:
     if args.scaling:
         lo, hi = (int(x) for x in args.pair.split(","))
         print(json.dumps(scaling(sf_dir, rounds=args.rounds, pair=(lo, hi))))
+        return 0
+    if args.stretch:
+        print(json.dumps(stretch(sf_dir, cores, multiplier=args.multiplier)))
         return 0
     print(json.dumps(full_bench(sf_dir, cores)))
     return 0

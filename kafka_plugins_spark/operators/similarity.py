@@ -298,6 +298,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     k: int | None = None,
     dim: int | None = None,
+    candidate_obs=None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold — grid-blocked, exact.
 
@@ -331,6 +332,11 @@ def embedding_neardup_pairs(
     occupancy down but costs 3^k probe fan-out; auto-policy pays k=4
     only inside the envelope (t ≥ 0.98) where projections actually
     prune, and the minimal k=2 outside it.
+
+    ``candidate_obs``: optional ``pyspark.sql.Observation`` — records
+    ``n_candidates`` on the run for capacity planning (read it after the
+    action; divide by n·(n−1)/2 for the blocking's admitted fraction),
+    riding the job instead of costing a second one.
     """
     if k is None:
         k = 4 if threshold >= 0.98 else 2
@@ -343,6 +349,8 @@ def embedding_neardup_pairs(
             )
         dim = len(row[0])
     cands = neardup_grid_candidates(emb, threshold, dim, k, vec_col=vec_col, id_col=id_col)
+    if candidate_obs is not None:
+        cands = cands.observe(candidate_obs, F.count(F.lit(1)).alias("n_candidates"))
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

@@ -82,9 +82,10 @@ def test_offset_scan_partition_pruning(spark, events_path):
 def test_dedup_verify_no_forced_broadcast(spark):
     """The per-doc sizes relation is O(corpus) — verify_pairs must not
     carry a broadcast HINT on it (a forced broadcast of per-doc counts
-    OOMs at 10⁹ docs). The sizes relation must instead be semi-joined
-    down to the candidate ids before the final joins; strategy is then
-    AQE's runtime call, not a plan-time force."""
+    OOMs at 10⁹ docs). With no hints anywhere in the dedup plans, join
+    strategy is AQE's runtime call — and the side it can choose to
+    broadcast against sizes is the candidate aggregate, which is small
+    by construction."""
     from kafka_plugins_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -92,8 +93,6 @@ def test_dedup_verify_no_forced_broadcast(spark):
         optimized = df._jdf.queryExecution().optimizedPlan().toString()
         # no user-forced broadcast hints anywhere in the dedup plans
         assert "strategy=broadcast" not in optimized
-        # the sizes restriction is a semi-join (candidates ⋉ sizes)
-        assert "LeftSemi" in optimized
 
 
 def test_emb_neardup_no_cartesian(spark):

@@ -219,3 +219,18 @@ def test_neardup_ivf_subset_and_recall_dial(spark):
         assert recall >= last - 1e-9
         last = recall
     assert recall == 1.0, "probing every cell must reproduce the exact pair set"
+
+
+def test_neardup_candidate_observation(spark):
+    """candidate_obs rides the job (no second count) and reports the
+    blocking's admitted candidate count."""
+    from pyspark.sql import Observation
+
+    from kafka_plugins_spark.operators.similarity import embedding_neardup_pairs
+
+    obs = Observation()
+    df = embedding_neardup_pairs(emb(spark), threshold=0.99, dim=64, candidate_obs=obs)
+    df.count()
+    n = emb(spark).count()
+    ratio = obs.get["n_candidates"] / (n * (n - 1) / 2)
+    assert 0 < ratio <= 0.60
