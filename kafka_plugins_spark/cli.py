@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--chunk-size", type=int, default=None)
     rp.add_argument("--salt-buckets", type=int, default=0)
     rp.add_argument("--cores", type=int, default=None)
+    rp.add_argument("--mode", choices=["cow", "mor"], default=None,
+                    help="cow: rewrite per commit; mor: O(batch) delta appends, LWW at read")
+    rp.add_argument("--compact", action="store_true",
+                    help="fold MoR deltas (and drop tombstones) after replay")
 
     st = sub.add_parser("stream")
     st.add_argument("--events", required=True)
@@ -75,8 +79,11 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_plugins_spark.replay import replay
 
         table, results = replay(
-            spark, args.events, args.table, chunk_size=args.chunk_size, salt_buckets=args.salt_buckets or None
+            spark, args.events, args.table, chunk_size=args.chunk_size,
+            salt_buckets=args.salt_buckets or None, mode=args.mode,
         )
+        if args.compact:
+            table.compact()
         applied = sum(1 for r in results if not r.skipped)
         rows = sum(r.rows_applied for r in results)
         print(

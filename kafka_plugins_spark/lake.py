@@ -32,7 +32,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark import StorageLevel
@@ -139,13 +139,53 @@ def compute_ranges(events: DataFrame) -> dict[int, tuple[int, int]]:
 
 
 class ParquetSnapshotTable:
-    """Copy-on-write snapshot table over plain parquet (sandbox backend)."""
+    """Snapshot table over plain parquet (sandbox backend), two write modes:
 
-    def __init__(self, spark: SparkSession, path: str, schema: T.StructType | None = None):
+    - ``mode="cow"`` (copy-on-write, default): every commit rewrites the
+      table — reads are a plain scan, writes are O(table). Right for
+      one-shot backfills and read-heavy tables.
+    - ``mode="mor"`` (merge-on-read): every commit appends ONE delta dir
+      of batch winners — writes are O(batch), reads resolve last-writer-
+      wins across delta files (one shuffle by key) until :meth:`compact`
+      folds them. Right for the realistic CDC shape: a long stream of
+      small commits where CoW's per-commit rewrite is the scale killer
+      (N commits cost O(N·table) writes vs O(events) + one compact).
+      This mirrors Iceberg's MoR position-delete/equality-delete design;
+      the fence/lineage/schema-evolution contracts are IDENTICAL in both
+      modes (property-tested side by side).
+
+    ``mode=None`` follows what the table on disk already is (an existing
+    MoR table keeps appending deltas; a fresh table defaults to CoW).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | None = None,
+        mode: str | None = None,
+    ):
+        if mode not in (None, "cow", "mor"):
+            raise ValueError(f"mode must be 'cow', 'mor', or None (got {mode!r})")
         self.spark = spark
         self.path = path.rstrip("/")
         self.base_schema = schema or TRANSCRIPT
+        self._mode = mode
         os.makedirs(os.path.join(self.path, SNAPSHOT_DIR), exist_ok=True)
+
+    def _write_mode(self) -> str:
+        if self._mode is not None:
+            return self._mode
+        snap = self.current_snapshot()
+        return "mor" if snap is not None and "data_paths" in snap else "cow"
+
+    @staticmethod
+    def _snapshot_paths(snap: dict | None) -> list[str]:
+        if snap is None:
+            return []
+        if snap.get("data_paths"):
+            return list(snap["data_paths"])
+        return [snap["data_path"]] if snap.get("data_path") else []
 
     # --- snapshot bookkeeping ---------------------------------------------
     def _snapshot_files(self) -> list[str]:
@@ -199,7 +239,7 @@ class ParquetSnapshotTable:
     def read(self) -> DataFrame:
         """Visible table: tombstones filtered, system columns hidden."""
         snap = self.current_snapshot()
-        if snap is None or snap.get("data_path") is None:
+        if not self._snapshot_paths(snap):
             return self.spark.createDataFrame([], self.base_schema)
         payload = [f.name for f in self.table_schema().fields]
         return (
@@ -209,12 +249,25 @@ class ParquetSnapshotTable:
         )
 
     def _read_full(self) -> DataFrame:
-        """Stored rows incl. tombstones + system columns (merge input)."""
+        """Stored rows incl. tombstones + system columns (merge input).
+
+        MoR: a key's live row is the max-``_offset`` row across all delta
+        dirs (each dir holds at most one row per key — batch winners), so
+        resolution is one row_number window by key. Old delta files read
+        under the CURRENT merged schema (explicit read schema ⇒ columns
+        added later surface as nulls — reader-side evolution). A single
+        dir (fresh load, post-compact, CoW) skips the window entirely.
+        """
         snap = self.current_snapshot()
         stored = _with_system_columns(self.table_schema())
-        if snap is None or snap.get("data_path") is None:
+        paths = self._snapshot_paths(snap)
+        if not paths:
             return self.spark.createDataFrame([], stored)
-        return self.spark.read.schema(stored).parquet(snap["data_path"])
+        raw = self.spark.read.schema(stored).parquet(*paths)
+        if len(paths) == 1:
+            return raw
+        w = Window.partitionBy(*KEY_COLUMNS).orderBy(F.desc("_offset"))
+        return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     def read_lineage(self) -> DataFrame:
         d = os.path.join(self.path, LINEAGE_DIR)
@@ -257,20 +310,22 @@ class ParquetSnapshotTable:
             if drop is not None:
                 fresh = winners.filter(~drop)
         snap_before = self.current_snapshot()
-        # Initial load with known ranges runs SINGLE-PASS over the input:
-        # the winner set is computed exactly once straight into the write
-        # (no persist materialization); per-partition lineage stats come
-        # from a post-write column-pruned scan of the 2 system columns —
-        # measured CHEAPER (0.3-1 s, codegen'd, parallel) than riding an
-        # Observation on the write (96 interpreted per-row aggregate
-        # expressions cost 2-3.7 s on an 8-core 3.1M-event load) and it
-        # scales with the cluster instead of with row count × partitions.
-        # Incremental merges reference `fresh` twice (upserts + changed
-        # keys), so they persist it; serialized level because a big
-        # backfill's winner set can exceed what deserialized on-heap
-        # caching tolerates alongside running tasks (observed OOM at
-        # 8.6M wide rows / 16g heap).
-        single_pass = snap_before is None and bool(ranges)
+        # Initial load with known ranges — and EVERY MoR commit — runs
+        # SINGLE-PASS over the input: the winner set is computed exactly
+        # once straight into the write (no persist materialization);
+        # per-partition lineage stats come from a post-write
+        # column-pruned scan of the 2 system columns of the just-written
+        # dir — measured CHEAPER (0.3-1 s, codegen'd, parallel) than
+        # riding an Observation on the write (96 interpreted per-row
+        # aggregate expressions cost 2-3.7 s on an 8-core 3.1M-event
+        # load) and it scales with the cluster instead of with row count
+        # × partitions. Incremental CoW merges reference `fresh` twice
+        # (upserts + changed keys), so they persist it; serialized level
+        # because a big backfill's winner set can exceed what
+        # deserialized on-heap caching tolerates alongside running tasks
+        # (observed OOM at 8.6M wide rows / 16g heap).
+        mor = self._write_mode() == "mor"
+        single_pass = mor or (snap_before is None and bool(ranges))
         if not single_pass:
             fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -301,8 +356,12 @@ class ParquetSnapshotTable:
                 {"op": "_op", "partition": "_partition", "offset": "_offset"}
             )
 
-            if snap_before is None:
-                # initial load: nothing to merge against — pure write
+            if snap_before is None or mor:
+                # initial load: nothing to merge against — pure write.
+                # MoR: ALWAYS a pure write of the batch winners as one
+                # delta dir (O(batch)); cross-commit LWW happens at read
+                # (max _offset per key), which also covers the
+                # out-of-order case with no special path.
                 merged = batch_rows
             else:
                 in_order = all(
@@ -384,7 +443,11 @@ class ParquetSnapshotTable:
             snapshot = {
                 "snapshot_id": snap_id,
                 "batch_id": int(batch_id),
-                "data_path": data_path,
+                **(
+                    {"data_paths": self._snapshot_paths(snap_before) + [data_path]}
+                    if mor
+                    else {"data_path": data_path}
+                ),
                 "watermarks": {str(k): v for k, v in sorted(new_wm.items())},
                 "delivered": {
                     str(k): [[a, b] for a, b in iv] for k, iv in sorted(new_delivered.items())
@@ -430,7 +493,10 @@ class ParquetSnapshotTable:
         return out
 
     def compact(self) -> CommitResult:
-        """Rewrite the current snapshot without tombstone rows.
+        """Rewrite the current snapshot without tombstone rows; for a MoR
+        table this also folds every delta dir into one resolved dir
+        (bounding read amplification — the MoR maintenance contract,
+        same as Iceberg's rewrite_data_files).
 
         Safe once no batch below the per-partition high watermark can
         still arrive (always true for in-order sources like Kafka; for
@@ -450,12 +516,16 @@ class ParquetSnapshotTable:
         new_snap = dict(snap)
         new_snap.update(
             snapshot_id=snap_id,
-            data_path=data_path,
             lineage=[],
             rows_applied=0,
             wall_ms=int((time.monotonic() - t0) * 1000),
             compaction=True,
         )
+        if "data_paths" in new_snap:
+            new_snap["data_paths"] = [data_path]
+            new_snap.pop("data_path", None)
+        else:
+            new_snap["data_path"] = data_path
         self._commit(snap_id, new_snap)
         return CommitResult(skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"])
 

@@ -35,6 +35,7 @@ def replay(
     merge_schema: bool = False,
     max_chunks: int | None = None,
     wire: bool = False,
+    mode: str | None = None,
 ) -> tuple[ParquetSnapshotTable, list[CommitResult]]:
     """Replay the event log into the lake table.
 
@@ -44,10 +45,14 @@ def replay(
     call replay again to finish — the fence skips committed chunks).
     ``wire=True`` treats the log as Kafka wire shape (binary JSON values)
     and decodes payloads first — the full ingest path incl. S6 decode.
+    ``mode="mor"`` commits each chunk as an O(chunk) delta append
+    (merge-on-read) instead of a CoW table rewrite — the scale shape for
+    many-chunk incremental ingest; run ``table.compact()`` afterwards to
+    fold deltas.
     """
     from kafka_plugins_spark.functions.decode import decode_transcript_events
 
-    table = ParquetSnapshotTable(spark, table_path)
+    table = ParquetSnapshotTable(spark, table_path, mode=mode)
     events = scan_events(spark, events_path, merge_schema=merge_schema)
     if wire:
         events = decode_transcript_events(events)

@@ -7,11 +7,19 @@ deleted keys. Kafka delivers per-partition in order, but file drops and
 backfills don't — the engine must converge under any batch order.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_plugins_spark.lake import ParquetSnapshotTable, _merge_intervals
 from kafka_plugins_spark.operators.resolve import last_writer_wins
 from tests.util import assert_tables_equal, duckdb_final_state
+
+
+@pytest.fixture(params=["cow", "mor"])
+def mode(request):
+    """Every out-of-order scenario must hold in BOTH write modes — the
+    fence/LWW contract is mode-independent (MoR resolves at read)."""
+    return request.param
 
 
 def _apply_range(spark, table, events_path, lo, hi, batch_id):
@@ -27,10 +35,10 @@ def _apply_range(spark, table, events_path, lo, hi, batch_id):
     return table.merge_into(last_writer_wins(ev), batch_id=batch_id, ranges=ranges)
 
 
-def test_reversed_batch_order_converges(spark, events_path, tmp_path):
+def test_reversed_batch_order_converges(spark, events_path, tmp_path, mode):
     """Apply the SECOND half first, then the first half — final state must
     equal in-order replay byte-for-byte."""
-    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
     r1 = _apply_range(spark, table, events_path, 400, 1 << 40, batch_id=1)
     r2 = _apply_range(spark, table, events_path, 0, 400, batch_id=0)
     assert not r1.skipped and not r2.skipped
@@ -40,17 +48,17 @@ def test_reversed_batch_order_converges(spark, events_path, tmp_path):
         assert len(iv) == 1 and iv[0][0] == 0, (p, iv)
 
 
-def test_interleaved_thirds_converge(spark, events_path, tmp_path):
-    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+def test_interleaved_thirds_converge(spark, events_path, tmp_path, mode):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
     for i, (lo, hi) in enumerate([(300, 600), (0, 300), (600, 1 << 40)]):
         _apply_range(spark, table, events_path, lo, hi, batch_id=i)
     assert_tables_equal(table.read().toPandas(), duckdb_final_state(events_path))
 
 
-def test_late_lower_range_not_fenced_out(spark, events_path, tmp_path):
+def test_late_lower_range_not_fenced_out(spark, events_path, tmp_path, mode):
     """The exact data-loss scenario: high batch first → low batch must
     still be applied (not treated as replay)."""
-    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
     _apply_range(spark, table, events_path, 200, 1 << 40, batch_id=1)
     rows_before = table.read().count()
     r = _apply_range(spark, table, events_path, 0, 200, batch_id=0)
@@ -61,7 +69,7 @@ def test_late_lower_range_not_fenced_out(spark, events_path, tmp_path):
     assert r2.skipped
 
 
-def test_old_batch_cannot_resurrect_deleted_key(spark, tmp_path):
+def test_old_batch_cannot_resurrect_deleted_key(spark, tmp_path, mode):
     from kafka_plugins_spark.schema import CHANGE_EVENT
 
     rows = [
@@ -69,7 +77,7 @@ def test_old_batch_cannot_resurrect_deleted_key(spark, tmp_path):
         ("c1", 0, "user", None, None, None, "D", 0, 5),
     ]
     df = spark.createDataFrame(rows, CHANGE_EVENT)
-    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
     # delete arrives first (offset 5), insert batch arrives later (offset 0)
     table.merge_into(
         last_writer_wins(df.filter("offset = 5")), batch_id=1, ranges={0: (5, 6)}
@@ -80,8 +88,8 @@ def test_old_batch_cannot_resurrect_deleted_key(spark, tmp_path):
     assert table.read().count() == 0  # tombstone at offset 5 wins
 
 
-def test_compact_drops_tombstones_keeps_state(spark, events_path, tmp_path):
-    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+def test_compact_drops_tombstones_keeps_state(spark, events_path, tmp_path, mode):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
     _apply_range(spark, table, events_path, 0, 1 << 40, batch_id=0)
     full_before = table._read_full().count()
     visible_before = table.read().count()
