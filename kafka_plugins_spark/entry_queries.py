@@ -89,6 +89,43 @@ def q_cdc_final_state(spark, sf):
     )
 
 
+def q_cdc_final_state_mor(spark, sf):
+    """The FULL engine path, driver-verified end-to-end in merge-on-read
+    mode: map events to change events (key=user_id, offset=event_id,
+    tombstone=event_type 'error'), ingest them as 4 chunked MoR commits
+    into a scratch snapshot table (each an O(batch) delta append), then
+    return table.read() — which exercises cross-commit read-side LWW
+    resolution, tombstone filtering, and the offset fence. The oracle
+    recomputes the converged state relationally, so a hash match proves
+    the multi-commit engine produced exactly the single-query answer."""
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),  # events parquet is ntz
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    table = ParquetSnapshotTable(spark, tempfile.mkdtemp(prefix="mor_entry_"), mode="mor")
+    step = hi // 4 + 1
+    for i in range(4):
+        chunk = ce.filter(
+            (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
+        )
+        table.merge_into(last_writer_wins(chunk), batch_id=i)
+    return table.read()
+
+
 def q_cdc_partition_offsets(spark, sf):
     """Per-partition cursor planning (B2/B4): end offset + row count."""
     ev = _t(spark, sf, "events")
@@ -129,6 +166,17 @@ CDC_ORACLES = {
                max(event_id) + 1  AS end_offset,
                count(*)           AS rows
         FROM events GROUP BY 1
+    """,
+    # the converged state the chunked MoR engine run must reproduce
+    "cdc_final_state_mor": """
+        SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+               0::INT                         AS turn_idx,
+               arg_max(event_type, event_id)  AS role,
+               CAST(max(event_id) AS VARCHAR) AS text,
+               CAST(NULL AS VARCHAR)          AS tool,
+               arg_max(ts, event_id)          AS ts
+        FROM events GROUP BY user_id
+        HAVING arg_max(event_type, event_id) <> 'error'
     """,
 }
 
@@ -1022,6 +1070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww": q_cdc_lww,
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_final_state": q_cdc_final_state,
+    "cdc_final_state_mor": q_cdc_final_state_mor,
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,

@@ -70,11 +70,18 @@ def start_ingest_stream(
     watermark_delay: str = "1 hour",
     dedup: bool = False,
     available_now: bool = True,
+    mode: str | None = None,
 ) -> IngestStream:
     """Wire the streaming DAG and start it.
 
     ``source`` is any streaming DataFrame with CHANGE_EVENT columns —
     a file stream in tests, a decoded Kafka stream in production.
+
+    ``mode="mor"`` makes each micro-batch commit an O(batch) delta append
+    instead of a CoW table rewrite — the right shape for a long-running
+    tail where the table dwarfs every micro-batch; schedule
+    ``table.compact()`` periodically to fold deltas (same contract as
+    Iceberg MoR maintenance).
 
     ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
     fence already collapse replay duplicates *exactly*, with no state and
@@ -85,7 +92,7 @@ def start_ingest_stream(
     offsets, making the drop permanent. Only enable it when the stream's
     event-time disorder is provably bounded by ``watermark_delay``.
     """
-    table = ParquetSnapshotTable(spark, table_path)
+    table = ParquetSnapshotTable(spark, table_path, mode=mode)
     stream = IngestStream(query=None, table=table)  # type: ignore[arg-type]
 
     events = dedup_stream(source, watermark_delay) if dedup else source

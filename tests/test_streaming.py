@@ -185,3 +185,31 @@ def test_stream_wire_format_decode_path(spark, tmp_path):
     want = oracle_table.read().orderBy("conv_id", "turn_idx").toPandas()
     import pandas as pd
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_stream_mor_mode_converges_and_resumes(spark, staged, tmp_path):
+    """Streaming with mode='mor': each micro-batch is an O(batch) delta
+    append; stop → more data → resume; final state matches the oracle;
+    compact folds deltas and preserves it."""
+    watch = str(tmp_path / "watch")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(f"{staged['full']}/drop1").schema
+
+    _stage(f"{staged['full']}/drop1", watch)
+    s1 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, ckpt, mode="mor"
+    )
+    s1.await_and_stop()
+    _stage(f"{staged['full']}/drop2", watch)
+    s2 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, ckpt, mode="mor"
+    )
+    s2.await_and_stop()
+    table = s2.table
+    assert len(table.current_snapshot()["data_paths"]) >= 2
+    want = duckdb_final_state(staged["oracle"])
+    assert_tables_equal(table.read().toPandas(), want)
+    table.compact()
+    assert len(table.current_snapshot()["data_paths"]) == 1
+    assert_tables_equal(table.read().toPandas(), want)
