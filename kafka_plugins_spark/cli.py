@@ -1,10 +1,13 @@
 """spark-submit entrypoint: ``spark-submit --py-files kafka_plugins_spark.zip cli.py ...``
 
 Subcommands:
-  replay   — batch replay an event log into a lake table (resumable)
+  replay   — batch replay an event log into a lake table (resumable;
+             --mode mor for O(batch) delta commits, --compact to fold)
   stream   — tail an event directory (or Kafka topic) into a lake table
   datagen  — write a deterministic synthetic CDC event log
   browse   — list lake tables / sample one
+  compact  — fold MoR deltas / drop tombstones (table maintenance)
+  package  — build kafka_plugins_spark.zip for spark-submit --py-files
 
 On a real cluster drop the ``--cores`` flag (the session builder only
 pins a master when given one via SPARK_GRAFT_CPUS/--cores; spark-submit's
@@ -64,6 +67,13 @@ def main(argv: list[str] | None = None) -> int:
     br.add_argument("--warehouse", required=True)
     br.add_argument("--sample", default=None)
     br.add_argument("--limit", type=int, default=20)
+
+    cp = sub.add_parser("compact", help="fold MoR deltas / drop tombstones (table maintenance)")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--cores", type=int, default=None)
+
+    pk = sub.add_parser("package", help="zip the library for spark-submit --py-files")
+    pk.add_argument("--out", default="kafka_plugins_spark.zip")
 
     args = p.parse_args(argv)
     t0 = time.monotonic()
@@ -145,6 +155,42 @@ def main(argv: list[str] | None = None) -> int:
         write_events(df, args.out, evolution_cut_offset=args.evolution_cut)
         n = spark.read.parquet(args.out if args.evolution_cut is None else f"{args.out}/phase=1").count()
         print(json.dumps({"out": args.out, "events_visible": n, "wall_sec": round(time.monotonic() - t0, 2)}))
+        return 0
+
+    if args.cmd == "compact":
+        spark = get_spark("cdc-compact", cores=args.cores)
+        from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+        table = ParquetSnapshotTable(spark, args.table)
+        res = table.compact()
+        print(
+            json.dumps(
+                {
+                    "skipped": res.skipped,
+                    "snapshot_id": res.snapshot_id,
+                    "wall_sec": round(time.monotonic() - t0, 2),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "package":
+        # ship exactly the library package, importable from the zip root —
+        # the --py-files contract (no Spark session needed)
+        import os
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        parent = os.path.dirname(pkg_root)
+        with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _, files in os.walk(pkg_root):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(full, parent))
+        print(json.dumps({"out": args.out, "files": len(zipfile.ZipFile(args.out).namelist())}))
         return 0
 
     if args.cmd == "browse":
