@@ -71,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="fold MoR deltas / drop tombstones (table maintenance)")
     cp.add_argument("--table", required=True)
     cp.add_argument("--cores", type=int, default=None)
+    cp.add_argument("--expire-keep", type=int, default=None,
+                    help="after compacting, expire history keeping the last N snapshots")
 
     pk = sub.add_parser("package", help="zip the library for spark-submit --py-files")
     pk.add_argument("--out", default="kafka_plugins_spark.zip")
@@ -163,11 +165,17 @@ def main(argv: list[str] | None = None) -> int:
 
         table = ParquetSnapshotTable(spark, args.table)
         res = table.compact()
+        expired = (
+            table.expire_snapshots(keep_last=args.expire_keep)
+            if args.expire_keep is not None
+            else None
+        )
         print(
             json.dumps(
                 {
                     "skipped": res.skipped,
                     "snapshot_id": res.snapshot_id,
+                    "expired": expired,
                     "wall_sec": round(time.monotonic() - t0, 2),
                 }
             )

@@ -529,6 +529,36 @@ class ParquetSnapshotTable:
         self._commit(snap_id, new_snap)
         return CommitResult(skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"])
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Garbage-collect history: drop all but the newest ``keep_last``
+        snapshot files and delete data dirs no kept snapshot references
+        (the Iceberg ``expire_snapshots`` analogue — without it a CoW
+        table keeps every rewritten copy forever and a compacted MoR
+        table keeps its folded deltas). The CURRENT snapshot is always
+        kept, so readers holding its plan keep working; only
+        time travel beyond ``keep_last`` is lost.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        files = self._snapshot_files()
+        drop, keep = files[:-keep_last], files[-keep_last:]
+        live: set[str] = set()
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        for f in keep:
+            with open(os.path.join(d, f)) as fh:
+                live.update(self._snapshot_paths(json.load(fh)))
+        removed_dirs = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, name)
+                if full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
+        for f in drop:
+            os.remove(os.path.join(d, f))
+        return {"snapshots_removed": len(drop), "data_dirs_removed": removed_dirs}
+
     def _commit(self, snap_id: int, snapshot: dict) -> None:
         """Atomic publish: temp file + rename (POSIX rename is atomic)."""
         d = os.path.join(self.path, SNAPSHOT_DIR)

@@ -271,3 +271,24 @@ def test_post_commit_verification_raises_on_missing_fence(monkeypatch):
         b._merge_with_commit_properties(
             s, "MERGE INTO lake.db.t ...", encode_summary_props({0: [(0, 10)]})
         )
+
+
+def test_merge_probe_wiring(monkeypatch):
+    """merge_into probes the channel only when no fenced ancestor exists;
+    a fenced ancestor is itself proof the channel works."""
+    calls = []
+
+    b = IcebergMergeBackend("lake.db.t")
+    monkeypatch.setattr(b, "read_delivered", lambda spark: {0: [(0, 100)]})
+    monkeypatch.setattr(
+        b, "probe_fence_channel",
+        lambda spark: (_ for _ in ()).throw(AssertionError("probe must not run")),
+    )
+    res = b.merge_into(None, None, batch_id=0, ranges={0: (0, 50)})  # fully fenced
+    assert res.skipped and b._channel_verified
+
+    b2 = IcebergMergeBackend("lake.db.t")
+    monkeypatch.setattr(b2, "read_delivered", lambda spark: {})
+    monkeypatch.setattr(b2, "probe_fence_channel", lambda spark: calls.append(1))
+    res = b2.merge_into(None, None, batch_id=0, ranges={})  # empty batch
+    assert res.skipped and calls == [1]

@@ -105,3 +105,33 @@ def test_mor_schema_evolution_null_backfills(spark, tmp_path):
     # old delta file lacks the column — reader-side evolution nulls it
     assert got == {"c1": None, "c2": "m-1"}
     assert "model" in [f.name for f in table.table_schema().fields]
+
+
+def test_expire_snapshots_gc(spark, events_path, tmp_path):
+    """expire_snapshots removes unreferenced data dirs + old snapshot
+    files in BOTH modes; reads/fence survive on the kept snapshot."""
+    # CoW: every commit left a dead rewritten copy
+    cow, _ = replay(spark, events_path, str(tmp_path / "cow"), chunk_size=300, mode="cow")
+    before = cow.read().toPandas()
+    data_root = str(tmp_path / "cow" / "data")
+    n_dirs = len(os.listdir(data_root))
+    out = cow.expire_snapshots(keep_last=1)
+    assert out["data_dirs_removed"] == n_dirs - 1 and out["snapshots_removed"] > 0
+    assert_tables_equal(cow.read().toPandas(), before)
+    _, again = replay(spark, events_path, str(tmp_path / "cow"), chunk_size=300, mode="cow")
+    assert all(r.skipped for r in again)  # fence state survived GC
+
+    # MoR: deltas stay LIVE until compact folds them
+    mor, _ = replay(spark, events_path, str(tmp_path / "mor"), chunk_size=300, mode="mor")
+    n_deltas = len(mor.current_snapshot()["data_paths"])
+    out = mor.expire_snapshots(keep_last=1)
+    assert out["data_dirs_removed"] == 0  # all deltas referenced by current
+    mor.compact()
+    out = mor.expire_snapshots(keep_last=1)
+    assert out["data_dirs_removed"] == n_deltas
+    assert_tables_equal(mor.read().toPandas(), before)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mor.expire_snapshots(keep_last=0)

@@ -118,3 +118,12 @@ def test_emb_neardup_grid_matches_exact(spark):
     got = {tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.45).collect()}
     want = {tuple(r) for r in embedding_neardup_pairs_exact(emb, threshold=0.45).collect()}
     assert got == want and len(want) > 0
+
+
+def test_customers_lapsed_pushes_date_filter(spark):
+    """The anti-join's date predicate must reach the orders scan."""
+    from kafka_plugins_spark.entry_queries import q_customers_lapsed
+
+    plan = plan_of(q_customers_lapsed(spark, SF))
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+    assert "BatchEvalPython" not in plan
