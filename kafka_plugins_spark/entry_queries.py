@@ -244,6 +244,24 @@ def q_media_png_decode(spark, sf):
     return image_pixel_stats(synthesize_png_table(ids), id_col="doc_id")
 
 
+def q_media_png_resize(spark, sf):
+    """Full decode→transform→encode media stage, driver-verified: per
+    document synthesize a PNG (closed-form pixels), nearest-neighbor
+    resize to 5×7 (decode → numpy index grid → re-encode), decode the
+    RESIZED bytes and emit pixel stats. The oracle recomputes
+    out[i,j] = src[⌊i·h/5⌋, ⌊j·w/7⌋] from the pixel rule — a hash match
+    proves decode, resampling, and re-encode are all exact."""
+    from kafka_plugins_spark.operators.multimodal import (
+        image_pixel_stats,
+        resize_png,
+        synthesize_png_table,
+    )
+
+    ids = _t(spark, sf, "documents").select("doc_id")
+    resized = resize_png(synthesize_png_table(ids), width=7, height=5, id_col="doc_id")
+    return image_pixel_stats(resized, id_col="doc_id")
+
+
 _HEXPOS = "strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1"
 
 MEDIA_ORACLES = {
@@ -284,6 +302,24 @@ MEDIA_ORACLES = {
                min(v)::BIGINT AS pixel_min,
                max(v)::BIGINT AS pixel_max
         FROM px GROUP BY doc_id, height, width
+    """,
+    # nearest-neighbor resize of the synthetic PNGs to 5×7:
+    # out[i,j] = src[(i·h)//5, (j·w)//7], src pixel k = (id*7 + k) % 256
+    "media_png_resize": """
+        WITH dims AS (
+            SELECT doc_id, 6 + doc_id % 4 AS h, 8 + doc_id % 5 AS w
+            FROM documents),
+        px AS (
+            SELECT d.doc_id,
+                   (d.doc_id * 7 + ((i.i * d.h) // 5) * d.w + ((j.j * d.w) // 7)) % 256 AS v
+            FROM dims d,
+                 UNNEST(generate_series(0, 4)) AS i(i),
+                 UNNEST(generate_series(0, 6)) AS j(j))
+        SELECT doc_id, 5::INT AS height, 7::INT AS width,
+               sum(v)::BIGINT AS pixel_sum,
+               min(v)::BIGINT AS pixel_min,
+               max(v)::BIGINT AS pixel_max
+        FROM px GROUP BY doc_id
     """,
 }
 
@@ -1075,6 +1111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,
     "media_png_decode": q_media_png_decode,
+    "media_png_resize": q_media_png_resize,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,
     "customers_lapsed": q_customers_lapsed,

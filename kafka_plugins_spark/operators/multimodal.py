@@ -211,10 +211,50 @@ def image_pixel_stats(
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: metadata updated JVM-side; pixel work is the stub
-    decode (real impl would re-encode in the same mapInPandas pass)."""
+    decode (real impl would re-encode in the same mapInPandas pass).
+    For REAL pixel resizing of PNG payloads see :func:`resize_png`."""
     return media.filter(F.col("kind") == "image").withColumns(
         {"width": F.lit(width), "height": F.lit(height)}
     )
+
+
+def resize_png(
+    media: DataFrame, width: int, height: int, data_col: str = "data", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL image resize for PNG payloads: decode (pure codec) →
+    nearest-neighbor resample (vectorized numpy index grid:
+    ``out[i,j] = src[⌊i·h/H⌋, ⌊j·w/W⌋]``) → re-encode, one Arrow batch
+    per Python invocation. Output rows carry the resized PNG bytes plus
+    the new dims — the full decode→transform→encode media pipeline
+    stage, no image library needed."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, media.schema[id_col].dataType, False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for data in pdf[data_col]:
+                src = png_codec.decode_png(bytes(data))
+                h, w = src.shape[:2]
+                rows = (np.arange(height) * h) // height
+                cols = (np.arange(width) * w) // width
+                blobs.append(png_codec.encode_png(src[np.ix_(rows, cols)]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "height": np.int32(height),
+                    "width": np.int32(width),
+                    "data": blobs,
+                }
+            )
+
+    return media.select(id_col, data_col).mapInPandas(resize, schema=out_schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -90,3 +90,33 @@ def test_decode_image_bytes_falls_back_for_non_png():
 
     out = _decode_image_bytes(b"\xff\xd8\xff" + bytes(range(97)))
     assert out.ndim == 2 and out.dtype == np.uint8
+
+
+def test_resize_png_nearest_neighbor(spark):
+    """Round-trip through the full decode→resample→encode stage: resized
+    pixels equal the closed-form nearest-neighbor rule, RGB included."""
+    from kafka_plugins_spark.operators.multimodal import resize_png
+
+    rgb = _rand((12, 10, 3), seed=7)
+    grey = _rand((9, 14), seed=8)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [0, 1],
+            "data": [png_codec.encode_png(grey), png_codec.encode_png(rgb)],
+        }),
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]),
+    )
+    out = {r["media_id"]: r for r in resize_png(df, width=6, height=4).collect()}
+    for mid, src in ((0, grey), (1, rgb)):
+        got = png_codec.decode_png(bytes(out[mid]["data"]))
+        h, w = src.shape[:2]
+        rows = (np.arange(4) * h) // 4
+        cols = (np.arange(6) * w) // 6
+        assert np.array_equal(got, src[np.ix_(rows, cols)])
+        assert (out[mid]["height"], out[mid]["width"]) == (4, 6)
