@@ -253,10 +253,14 @@ class ParquetSnapshotTable:
 
         MoR: a key's live row is the max-``_offset`` row across all delta
         dirs (each dir holds at most one row per key — batch winners), so
-        resolution is one row_number window by key. Old delta files read
-        under the CURRENT merged schema (explicit read schema ⇒ columns
-        added later surface as nulls — reader-side evolution). A single
-        dir (fresh load, post-compact, CoW) skips the window entirely.
+        resolution is one row_number window by key — which Catalyst
+        rewrites to a partial+final ``WindowGroupLimit``: each map task
+        keeps only its local top-1 per key BEFORE the single exchange, so
+        per-key duplicates collapse map-side (plan-asserted,
+        tests/test_plan_quality.py). Old delta files read under the
+        CURRENT merged schema (explicit read schema ⇒ columns added
+        later surface as nulls — reader-side evolution). A single dir
+        (fresh load, post-compact, CoW) skips the window entirely.
         """
         snap = self.current_snapshot()
         stored = _with_system_columns(self.table_schema())
@@ -776,6 +780,25 @@ class IcebergMergeBackend:
         the data (Iceberg's ``snapshot-property.`` option prefix)."""
         return {
             f"snapshot-property.{k}": v for k, v in encode_summary_props(delivered).items()
+        }
+
+    @staticmethod
+    def recommended_table_properties(mode: str = "mor") -> dict[str, str]:
+        """Iceberg table properties matching the sandbox backend's write
+        modes: ``mor`` → row-level deletes resolved at read (format v2 +
+        merge-on-read for MERGE/UPDATE/DELETE — the micro-batch CDC
+        shape; run ``rewrite_data_files``/``rewrite_position_delete_files``
+        maintenance like ParquetSnapshotTable.compact); ``cow`` →
+        copy-on-write rewrites (read-heavy tables / one-shot backfills).
+        Apply at CREATE TABLE or via ALTER TABLE SET TBLPROPERTIES."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor' (got {mode!r})")
+        level = "merge-on-read" if mode == "mor" else "copy-on-write"
+        return {
+            "format-version": "2",
+            "write.merge.mode": level,
+            "write.update.mode": level,
+            "write.delete.mode": level,
         }
 
     # --- SQL construction ---------------------------------------------------

@@ -292,3 +292,15 @@ def test_merge_probe_wiring(monkeypatch):
     monkeypatch.setattr(b2, "probe_fence_channel", lambda spark: calls.append(1))
     res = b2.merge_into(None, None, batch_id=0, ranges={})  # empty batch
     assert res.skipped and calls == [1]
+
+
+def test_recommended_table_properties():
+    import pytest
+
+    mor = IcebergMergeBackend.recommended_table_properties("mor")
+    assert mor["format-version"] == "2"
+    assert mor["write.merge.mode"] == "merge-on-read"
+    cow = IcebergMergeBackend.recommended_table_properties("cow")
+    assert cow["write.delete.mode"] == "copy-on-write"
+    with pytest.raises(ValueError):
+        IcebergMergeBackend.recommended_table_properties("nope")

@@ -127,3 +127,20 @@ def test_customers_lapsed_pushes_date_filter(spark):
     plan = plan_of(q_customers_lapsed(spark, SF))
     assert re.search(r"PushedFilters:.*o_orderdate", plan)
     assert "BatchEvalPython" not in plan
+
+
+def test_mor_read_is_single_window_resolution(spark, events_path, tmp_path):
+    """MoR read = scan of all deltas + ONE key-window (shuffle) for LWW;
+    a compacted (single-dir) table reads with no window at all."""
+    from kafka_plugins_spark.replay import replay
+
+    table, _ = replay(spark, events_path, str(tmp_path / "t"), chunk_size=400, mode="mor")
+    plan = plan_of(table._read_full())
+    # one key shuffle; the row_number()<=1 rewrite gives a PARTIAL
+    # WindowGroupLimit (map-side top-1 per key BEFORE the exchange, so
+    # per-key duplicates collapse in each task) + Final after it
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "BatchEvalPython" not in plan
+    table.compact()
+    assert "Window" not in plan_of(table._read_full())
