@@ -163,13 +163,23 @@ def full_bench(sf_dir: str, cores: int) -> dict:
 
     from kafka_plugins_spark.entry_queries import QUERIES
 
+    # best-of-2 per query, both runs reported: the host stalls in
+    # minute-scale windows (observed 27 s for a steady-state 0.7 s
+    # query), so a single sample can record a window instead of the
+    # engine; two samples with the raw pair published keeps it honest
     qtimes: dict[str, float] = {}
+    qruns: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(2):
+            df = QUERIES[name](spark, sf_dir)
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        qruns[name] = runs
+        qtimes[name] = min(runs)
     out["queries"] = qtimes
+    out["queries_all_runs"] = qruns
     return out
 
 
