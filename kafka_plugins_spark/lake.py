@@ -231,24 +231,38 @@ class ParquetSnapshotTable:
         return {int(k): [(0, int(v))] for k, v in snap["watermarks"].items()}
 
     def table_schema(self) -> T.StructType:
-        snap = self.current_snapshot()
+        return self._schema_of(self.current_snapshot())
+
+    def _schema_of(self, snap: dict | None) -> T.StructType:
         if snap is None:
             return self.base_schema
         return T.StructType.fromJson(json.loads(snap["schema"]))
 
-    def read(self) -> DataFrame:
-        """Visible table: tombstones filtered, system columns hidden."""
-        snap = self.current_snapshot()
+    def snapshot_by_id(self, snapshot_id: int) -> dict:
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        f = os.path.join(d, f"{snapshot_id:06d}.json")
+        if not os.path.exists(f):
+            raise ValueError(f"no snapshot {snapshot_id} (expired or never committed)")
+        with open(f) as fh:
+            return json.load(fh)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Visible table: tombstones filtered, system columns hidden.
+        ``snapshot_id`` time-travels to an earlier (unexpired) snapshot —
+        same contract as Iceberg's ``VERSION AS OF``."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
+        )
         if not self._snapshot_paths(snap):
             return self.spark.createDataFrame([], self.base_schema)
-        payload = [f.name for f in self.table_schema().fields]
+        payload = [f.name for f in self._schema_of(snap).fields]
         return (
-            self._read_full()
+            self._read_full(snap)
             .filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
             .select(*payload)
         )
 
-    def _read_full(self) -> DataFrame:
+    def _read_full(self, snap: dict | None = None) -> DataFrame:
         """Stored rows incl. tombstones + system columns (merge input).
 
         MoR: a key's live row is the max-``_offset`` row across all delta
@@ -262,8 +276,9 @@ class ParquetSnapshotTable:
         later surface as nulls — reader-side evolution). A single dir
         (fresh load, post-compact, CoW) skips the window entirely.
         """
-        snap = self.current_snapshot()
-        stored = _with_system_columns(self.table_schema())
+        if snap is None:
+            snap = self.current_snapshot()
+        stored = _with_system_columns(self._schema_of(snap))
         paths = self._snapshot_paths(snap)
         if not paths:
             return self.spark.createDataFrame([], stored)
@@ -532,6 +547,27 @@ class ParquetSnapshotTable:
             new_snap["data_path"] = data_path
         self._commit(snap_id, new_snap)
         return CommitResult(skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"])
+
+    def rollback_to(self, snapshot_id: int) -> CommitResult:
+        """Roll the table back to an earlier snapshot's state by
+        committing a NEW snapshot replicating it (append-only history,
+        like Iceberg's rollback — the abandoned snapshots' data dirs stay
+        until :meth:`expire_snapshots`). The fence reverts WITH the data:
+        offset ranges committed after the target leave the delivered set,
+        so re-ingesting them re-applies instead of being silently skipped
+        — the rollback data-loss trap the Iceberg backend guards with its
+        current-ancestry walk (:meth:`IcebergMergeBackend.pick_delivered`).
+        Lineage is an append-only activity log: rows from rolled-back
+        commits remain recorded there by design.
+        """
+        target = self.snapshot_by_id(snapshot_id)
+        cur = self.current_snapshot()
+        new_id = cur["snapshot_id"] + 1
+        new_snap = dict(target)
+        new_snap.update(snapshot_id=new_id, rollback_of=snapshot_id, lineage=[],
+                        rows_applied=0, wall_ms=0)
+        self._commit(new_id, new_snap)
+        return CommitResult(skipped=False, snapshot_id=new_id)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Garbage-collect history: drop all but the newest ``keep_last``

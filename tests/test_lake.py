@@ -121,3 +121,36 @@ def test_iceberg_merge_sql():
     # guard can be disabled for strictly-ordered sources
     plain = IcebergMergeBackend("x").build_merge_sql("v", order_guard=False)
     assert "WHEN MATCHED THEN UPDATE" in plain
+
+
+def test_time_travel_and_rollback(spark, events_path, tmp_path):
+    """read(snapshot_id=...) time-travels; rollback_to reverts data AND
+    fence together, so rolled-back ranges re-ingest instead of being
+    silently skipped (the rollback data-loss trap), in both modes."""
+    from kafka_plugins_spark.replay import replay
+    from tests.util import assert_tables_equal, duckdb_final_state
+
+    for mode in ("cow", "mor"):
+        t = str(tmp_path / mode)
+        table, res = replay(spark, events_path, t, chunk_size=300, mode=mode)
+        applied = [r for r in res if not r.skipped]
+        assert len(applied) >= 3
+        first_id = applied[0].snapshot_id
+        full = table.read().toPandas()
+        early = table.read(snapshot_id=first_id).toPandas()
+        assert len(early) < len(full)  # time travel sees the old state
+
+        table.rollback_to(first_id)
+        assert_tables_equal(
+            table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+            early.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        )
+        # fence reverted with the data: later chunks re-apply, then converge
+        table2, res2 = replay(spark, events_path, t, chunk_size=300, mode=mode)
+        assert any(not r.skipped for r in res2)
+        assert_tables_equal(table2.read().toPandas(), duckdb_final_state(events_path))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.read(snapshot_id=99999)
