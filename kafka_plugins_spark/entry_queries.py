@@ -98,6 +98,7 @@ def q_cdc_final_state_mor(spark, sf):
     resolution, tombstone filtering, and the offset fence. The oracle
     recomputes the converged state relationally, so a hash match proves
     the multi-commit engine produced exactly the single-query answer."""
+    import shutil
     import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
@@ -116,14 +117,20 @@ def q_cdc_final_state_mor(spark, sf):
         F.col("event_id").alias("offset"),
     )
     hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
-    table = ParquetSnapshotTable(spark, tempfile.mkdtemp(prefix="mor_entry_"), mode="mor")
+    scratch = tempfile.mkdtemp(prefix="mor_entry_")
+    table = ParquetSnapshotTable(spark, scratch, mode="mor")
     step = hi // 4 + 1
     for i in range(4):
         chunk = ce.filter(
             (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
         )
         table.merge_into(last_writer_wins(chunk), batch_id=i)
-    return table.read()
+    # Materialize into the block manager (eager localCheckpoint cuts the
+    # lineage back to the scratch files), then remove the scratch table so
+    # repeated driver/bench invocations don't accrete copies in /tmp.
+    out = table.read().localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 def q_cdc_partition_offsets(spark, sf):

@@ -562,6 +562,8 @@ class ParquetSnapshotTable:
         """
         target = self.snapshot_by_id(snapshot_id)
         cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("cannot rollback an empty table (no current snapshot)")
         new_id = cur["snapshot_id"] + 1
         new_snap = dict(target)
         new_snap.update(snapshot_id=new_id, rollback_of=snapshot_id, lineage=[],
@@ -582,35 +584,54 @@ class ParquetSnapshotTable:
             raise ValueError("keep_last must be >= 1")
         files = self._snapshot_files()
         drop, keep = files[:-keep_last], files[-keep_last:]
+        # Liveness by data-dir BASENAME, not stored path string: snapshots
+        # record the path spelling used at write time, so a handle opened
+        # later with a different spelling ('./tbl' vs abspath) would see
+        # zero matches on full-path comparison and delete every live dir.
+        # All data dirs live under <table>/data/, so basenames are unique.
         live: set[str] = set()
         d = os.path.join(self.path, SNAPSHOT_DIR)
         for f in keep:
             with open(os.path.join(d, f)) as fh:
-                live.update(self._snapshot_paths(json.load(fh)))
+                live.update(
+                    os.path.basename(os.path.normpath(p))
+                    for p in self._snapshot_paths(json.load(fh))
+                )
         removed_dirs = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
-                full = os.path.join(data_root, name)
-                if full not in live:
-                    shutil.rmtree(full, ignore_errors=True)
+                if name not in live:
+                    shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
                     removed_dirs += 1
         for f in drop:
             os.remove(os.path.join(d, f))
         return {"snapshots_removed": len(drop), "data_dirs_removed": removed_dirs}
 
     def _commit(self, snap_id: int, snapshot: dict) -> None:
-        """Atomic publish: temp file + rename (POSIX rename is atomic)."""
+        """Atomic + exclusive publish: temp file (fsynced) then
+        ``os.link`` into place. link(2) fails with EEXIST if the snapshot
+        file already exists, so of two concurrent writers racing the same
+        snapshot id exactly one wins and the loser gets a loud error —
+        check-then-rename would let the second rename silently clobber
+        the first commit. Single-writer remains the documented contract
+        (Iceberg owns concurrency in prod); this makes violations loud.
+        """
         d = os.path.join(self.path, SNAPSHOT_DIR)
         final = os.path.join(d, f"{snap_id:06d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(f"snapshot {snap_id} already committed (concurrent writer?)")
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(snapshot, fh, indent=2)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"snapshot {snap_id} already committed (concurrent writer?)"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
 
 @dataclass
@@ -796,11 +817,16 @@ class IcebergMergeBackend:
                 spark.conf.unset(conf_key)
             except Exception:
                 pass
-        row = spark.sql(
+        # Search the few most recent snapshots for the token rather than
+        # asserting the probe is the SINGLE newest one: a concurrent writer
+        # committing between our zero-row append and this check would
+        # otherwise make the probe fail spuriously (fail-closed but flaky
+        # on shared tables). 16 is generous headroom for in-flight writers.
+        rows = spark.sql(
             f"SELECT summary FROM {self.table}.snapshots "
-            f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            f"ORDER BY committed_at DESC, snapshot_id DESC LIMIT 16"
         ).collect()
-        if not row or dict(row[0]["summary"]).get(self.PROBE_KEY) != token:
+        if not any(dict(r["summary"]).get(self.PROBE_KEY) == token for r in rows):
             raise RuntimeError(
                 f"{self.table}: this Iceberg version ignores the "
                 "spark.sql.iceberg.snapshot-property.* session-conf channel — "

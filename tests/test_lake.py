@@ -154,3 +154,60 @@ def test_time_travel_and_rollback(spark, events_path, tmp_path):
 
     with pytest.raises(ValueError, match="no snapshot"):
         table.read(snapshot_id=99999)
+
+
+def test_commit_race_exactly_one_wins(spark, events_path, tmp_path):
+    """Two writers racing the SAME snapshot id: the exclusive link(2)
+    publish guarantees exactly one commit lands and the loser raises —
+    check-then-rename would let the second silently clobber the first."""
+    import threading
+
+    table, _ = replay(spark, events_path, str(tmp_path / "t"), chunk_size=10**9)
+    snap = table.current_snapshot()
+    nxt = snap["snapshot_id"] + 1
+    errors, barrier = [], threading.Barrier(2)
+
+    def racer(tag):
+        barrier.wait()
+        try:
+            table._commit(nxt, dict(snap, snapshot_id=nxt, racer=tag))
+        except RuntimeError as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(errors) == 1 and "already committed" in str(errors[0])
+    assert table.current_snapshot()["snapshot_id"] == nxt
+    # no temp-file litter left behind by either racer
+    import os as _os
+
+    snap_dir = str(tmp_path / "t" / "_snapshots")
+    assert not [f for f in _os.listdir(snap_dir) if f.startswith(".tmp-")]
+
+
+def test_expire_with_different_path_spelling(spark, events_path, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): snapshots record the write-time path spelling.
+    Expiring through a handle opened with a DIFFERENT spelling (relative
+    vs absolute) must still see the kept snapshot's data dirs as live —
+    full-path string comparison would delete ALL data dirs."""
+    abs_path = str(tmp_path / "t")
+    table, _ = replay(spark, events_path, abs_path, chunk_size=300)
+    before = table.read().toPandas()
+    monkeypatch.chdir(tmp_path)
+    other = ParquetSnapshotTable(spark, "./t")
+    out = other.expire_snapshots(keep_last=1)
+    assert out["snapshots_removed"] > 0 and out["data_dirs_removed"] > 0
+    # the current snapshot's data survived — readers on either handle work
+    assert_tables_equal(table.read().toPandas(), before)
+    assert_tables_equal(other.read().toPandas(), before)
+
+
+def test_rollback_empty_table_raises(spark, tmp_path):
+    """ADVICE r3 (low): rollback on a table with no commits is a clear
+    ValueError, not a TypeError on a None snapshot."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError):
+        t.rollback_to(1)
