@@ -22,6 +22,9 @@ class TableEntity:
     path: str
     snapshot_id: int | None
     rows_applied: int | None
+    # number of data dirs the current snapshot reads (MoR read
+    # amplification signal: >1 means deltas await compact())
+    live_data_dirs: int = 0
 
 
 class LakeConnector:
@@ -49,6 +52,7 @@ class LakeConnector:
                         path=p,
                         snapshot_id=None if snap is None else snap["snapshot_id"],
                         rows_applied=None if snap is None else snap.get("rows_applied"),
+                        live_data_dirs=t.live_data_dirs(),
                     )
                 )
         return out

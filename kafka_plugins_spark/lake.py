@@ -238,6 +238,14 @@ class ParquetSnapshotTable:
             return self.base_schema
         return T.StructType.fromJson(json.loads(snap["schema"]))
 
+    def live_data_dirs(self) -> int:
+        """Data dirs the current snapshot reads. For a CoW table this is
+        always ≤1; for MoR it is 1 + unfolded deltas — the read
+        amplification the next :meth:`compact` removes. Surfaced in
+        :meth:`LakeConnector.browse` so operators can see a table that
+        needs maintenance before reads degrade."""
+        return len(self._snapshot_paths(self.current_snapshot()))
+
     def snapshot_by_id(self, snapshot_id: int) -> dict:
         d = os.path.join(self.path, SNAPSHOT_DIR)
         f = os.path.join(d, f"{snapshot_id:06d}.json")

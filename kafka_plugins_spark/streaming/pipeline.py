@@ -34,6 +34,7 @@ class IngestStream:
     query: StreamingQuery
     table: ParquetSnapshotTable
     commits: list[CommitResult] = field(default_factory=list)
+    compactions: list[CommitResult] = field(default_factory=list)
 
     def await_and_stop(self) -> None:
         """Drain everything currently available, then stop (test harness)."""
@@ -71,6 +72,7 @@ def start_ingest_stream(
     dedup: bool = False,
     available_now: bool = True,
     mode: str | None = None,
+    auto_compact_every: int | None = None,
 ) -> IngestStream:
     """Wire the streaming DAG and start it.
 
@@ -82,6 +84,15 @@ def start_ingest_stream(
     tail where the table dwarfs every micro-batch; schedule
     ``table.compact()`` periodically to fold deltas (same contract as
     Iceberg MoR maintenance).
+
+    ``auto_compact_every=N`` runs that maintenance inline: whenever a
+    commit leaves the table reading ≥N data dirs, the batch loop folds
+    them with :meth:`ParquetSnapshotTable.compact` before the next batch,
+    so a 10k-micro-batch tail that never schedules external maintenance
+    still reads at most N dirs (read amplification bounded by config, not
+    by operator vigilance). Compaction commits are recorded separately in
+    ``IngestStream.compactions``. Safe under the same in-order contract
+    as :meth:`compact` (always true for Kafka per-partition order).
 
     ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
     fence already collapse replay duplicates *exactly*, with no state and
@@ -108,6 +119,11 @@ def start_ingest_stream(
             res = table.merge_into(winners, batch_id=batch_id, ranges=ranges)
             res.wall_ms = int((time.monotonic() - t0) * 1000)
             stream.commits.append(res)
+            if (
+                auto_compact_every is not None
+                and table.live_data_dirs() >= auto_compact_every
+            ):
+                stream.compactions.append(table.compact())
         finally:
             batch.unpersist()
 

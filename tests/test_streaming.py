@@ -213,3 +213,59 @@ def test_stream_mor_mode_converges_and_resumes(spark, staged, tmp_path):
     table.compact()
     assert len(table.current_snapshot()["data_paths"]) == 1
     assert_tables_equal(table.read().toPandas(), want)
+
+
+def test_stream_mor_auto_compact_bounds_read_amplification(spark, staged, tmp_path):
+    """auto_compact_every=N: a long micro-batch tail folds itself — no
+    snapshot in the whole history ever reads more than N data dirs, the
+    compaction commits are recorded, and the converged table still
+    matches the relational oracle (VERDICT r3 item 6)."""
+    import json
+
+    from kafka_plugins_spark.lake import SNAPSHOT_DIR
+
+    watch = str(tmp_path / "watch")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(f"{staged['full']}/drop1").schema
+
+    # re-slice the full log into 9 offset-ordered files → 9 micro-batches
+    # (one per trigger). Slices are ordered in offset like a Kafka tail —
+    # the in-order contract auto-compact inherits from compact().
+    full = spark.read.parquet(staged["oracle"])
+    hi = full.agg(F.max("offset")).collect()[0][0] + 1
+    step = hi // 9 + 1
+    os.makedirs(watch, exist_ok=True)
+    for i in range(9):
+        sl = str(tmp_path / f"slice{i}")
+        full.filter(
+            (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
+        ).coalesce(1).write.parquet(sl)
+        for j, f in enumerate(sorted(glob.glob(f"{sl}/*.parquet"))):
+            dst = os.path.join(watch, f"slice-{i}-{j}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # stream order = mtime
+
+    N = 3
+    s = start_ingest_stream(
+        spark,
+        file_event_source(spark, watch, schema, max_files_per_trigger=1),
+        table_path,
+        ckpt,
+        mode="mor",
+        auto_compact_every=N,
+    )
+    s.await_and_stop()
+    table = s.table
+    assert len(s.commits) >= 8
+    assert len(s.compactions) >= 2
+    assert table.live_data_dirs() <= N
+
+    # the invariant held for EVERY snapshot ever committed, not just the last
+    snap_dir = os.path.join(table_path, SNAPSHOT_DIR)
+    for f in sorted(os.listdir(snap_dir)):
+        with open(os.path.join(snap_dir, f)) as fh:
+            snap = json.load(fh)
+        assert len(snap.get("data_paths", [1])) <= N, f"snapshot {f} exceeded bound"
+
+    assert_tables_equal(table.read().toPandas(), duckdb_final_state(staged["oracle"]))
