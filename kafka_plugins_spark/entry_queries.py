@@ -905,28 +905,87 @@ def q_emb_neardup(spark, sf):
     return sim.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.45, dim=64)
 
 
-def q_emb_neardup_ivf(spark, sf):
-    """IVF-blocked near-dup — the loose-threshold scale path (approximate,
-    recall dialed by nprobe; candidates exact-verified so output ⊆ the
-    all-pairs result). Deterministic codebook ⇒ the DuckDB oracle
-    reproduces cell assignment + probing + verification exactly."""
-    return sim.embedding_neardup_pairs_ivf(
-        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, n_cells=8, nprobe=4
-    )
+# k-means hyperparameters shared by BOTH trained-IVF driver queries and
+# their oracles — the codebook is a function of (data, these params) only.
+IVF_TRAIN_ITERS = 2
+_IVF_CODEBOOKS: dict = {}
 
 
-def _emb_neardup_ivf_oracle_sql(
-    threshold: float = 0.45, dim: int = 64, n_cells: int = 8, nprobe: int = 4
-) -> str:
+def _trained_codebook(spark, sf, n_cells=8, dim=64):
+    """Train (or reuse) the k-means codebook for this sf's embeddings.
+    Cached per (sf, params): both IVF driver queries share one training
+    run per process, like a production job would broadcast one codebook."""
+    key = (sf, n_cells, dim, IVF_TRAIN_ITERS)
+    if key not in _IVF_CODEBOOKS:
+        _IVF_CODEBOOKS[key] = sim.train_ivf_centroids(
+            _t(spark, sf, "embeddings"), n_cells=n_cells, dim=dim, n_iters=IVF_TRAIN_ITERS
+        )
+    return _IVF_CODEBOOKS[key]
+
+
+def _ivf_train_ctes(dim: int = 64, n_cells: int = 8, n_iters: int = IVF_TRAIN_ITERS) -> str:
+    """CTE chain re-deriving :func:`similarity.train_ivf_centroids`'s
+    codebook inside DuckDB, bit-for-bit: same deterministic init, same
+    assign (argmax dot, ties → smaller cell), same fixed-point per-cell
+    sums (order-independent, exact under 2^53), same IEEE double mean +
+    normalize. Verified exact vs the Spark trainer at sf0.001/0.01/0.1.
+    Ends with ``cents`` = the trained codebook."""
     cent_rows = ",\n            ".join(
         "({cid}, [{vals}]::DOUBLE[])".format(
             cid=cid, vals=", ".join(repr(x) for x in cent)
         )
         for cid, cent in enumerate(sim.ivf_centroids(n_cells, dim))
     )
+    parts = [f"cents0(cid, v) AS (VALUES\n            {cent_rows})"]
+    for t in range(n_iters):
+        parts.append(f"""ass{t} AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(generate_series(1, {dim}),
+                               i -> e.embedding[i]::DOUBLE * c.v[i])) DESC,
+                           c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents{t} c) WHERE rn = 1)""")
+        parts.append(f"""agg{t} AS (
+            SELECT a.cell, g.i,
+                   sum(CAST(round(e.embedding[g.i]::DOUBLE * {float(sim.IVF_SCALE)!r}) AS BIGINT)) AS sm,
+                   count(*) AS n
+            FROM ass{t} a JOIN embeddings e USING (vec_id)
+            CROSS JOIN generate_series(1, {dim}) AS g(i)
+            GROUP BY a.cell, g.i)""")
+        parts.append(f"""nw{t} AS (
+            SELECT cell AS cid,
+                   CASE WHEN sqrt(list_sum(list_transform(rv, x -> x * x))) > 0
+                        THEN list_transform(rv, x -> x / sqrt(list_sum(list_transform(rv, y -> y * y))))
+                        ELSE NULL END AS v
+            FROM (SELECT cell, list((sm::DOUBLE / n::DOUBLE) / {float(sim.IVF_SCALE)!r} ORDER BY i) AS rv
+                  FROM agg{t} GROUP BY cell))""")
+        parts.append(f"""cents{t + 1} AS (
+            SELECT c.cid, COALESCE(n.v, c.v) AS v
+            FROM cents{t} c LEFT JOIN nw{t} n USING (cid))""")
+    parts.append(f"cents AS (SELECT cid, v FROM cents{n_iters})")
+    return ",\n        ".join(parts)
+
+
+def q_emb_neardup_ivf(spark, sf):
+    """IVF-blocked near-dup — the loose-threshold scale path (approximate,
+    recall dialed by nprobe; candidates exact-verified so output ⊆ the
+    all-pairs result). TRAINED codebook (Spark-native k-means,
+    :func:`similarity.train_ivf_centroids`); the DuckDB oracle re-derives
+    the identical codebook in SQL and reproduces cell assignment +
+    probing + verification exactly."""
+    cents = _trained_codebook(spark, sf)
+    return sim.embedding_neardup_pairs_ivf(
+        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, n_cells=8, nprobe=4,
+        centroids=cents,
+    )
+
+
+def _emb_neardup_ivf_oracle_sql(
+    threshold: float = 0.45, dim: int = 64, n_cells: int = 8, nprobe: int = 4
+) -> str:
     return f"""
-        WITH cents(cid, v) AS (VALUES
-            {cent_rows}),
+        WITH {_ivf_train_ctes(dim, n_cells)},
         cscore AS (
             SELECT e.vec_id, c.cid,
                    list_sum(list_transform(generate_series(1, {dim}),
@@ -1008,23 +1067,20 @@ def _ann_lsh_oracle_sql(n_queries: int = 20, k: int = 5, dim: int = 64, planes: 
 
 def q_ann_ivf_topk(spark, sf):
     """IVF ANN — coarse-quantizer cells + nprobe search (the second
-    scale-path ANN besides LSH). Deterministic codebook, so the DuckDB
-    oracle reproduces assignment + probing + ranking exactly."""
-    return sim.ann_ivf_topk(_t(spark, sf, "embeddings"), n_queries=20, k=5)
+    scale-path ANN besides LSH). TRAINED codebook (Spark-native k-means);
+    the DuckDB oracle re-derives the identical codebook in SQL and
+    reproduces assignment + probing + ranking exactly."""
+    cents = _trained_codebook(spark, sf)
+    return sim.ann_ivf_topk(
+        _t(spark, sf, "embeddings"), n_queries=20, k=5, centroids=cents
+    )
 
 
 def _ann_ivf_oracle_sql(
     n_queries: int = 20, k: int = 5, dim: int = 64, n_cells: int = 8, nprobe: int = 2
 ) -> str:
-    cent_rows = ",\n            ".join(
-        "({cid}, [{vals}]::DOUBLE[])".format(
-            cid=cid, vals=", ".join(repr(x) for x in cent)
-        )
-        for cid, cent in enumerate(sim.ivf_centroids(n_cells, dim))
-    )
     return f"""
-        WITH cents(cid, v) AS (VALUES
-            {cent_rows}),
+        WITH {_ivf_train_ctes(dim, n_cells)},
         cscore AS (
             SELECT e.vec_id, c.cid,
                    list_sum(list_transform(generate_series(1, {dim}),

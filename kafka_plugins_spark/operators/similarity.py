@@ -172,6 +172,59 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     return out
 
 
+IVF_SCALE = 1 << 20  # fixed-point quantum for order-independent k-means sums
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spark-native spherical k-means for the IVF coarse quantizer:
+    ``n_iters`` rounds of assign-to-argmax-cosine-cell (one codegen'd
+    projection) + per-cell per-dimension mean (one partial-aggregated
+    groupBy collecting ``n_cells`` rows to the driver). Pure DataFrame
+    ops — no MLlib, no Python row UDFs.
+
+    Bit-reproducibility is part of the contract: per-dimension sums are
+    taken over fixed-point longs (``round(x * 2^20)``), so the result is
+    independent of partitioning and row order, and the DuckDB oracle
+    (:func:`entry_queries._ivf_train_ctes`) re-derives the IDENTICAL
+    centroids from the same parquet — which is what lets the trained-IVF
+    driver queries stay hash-green. Multiplication by 2^20 is exact
+    (exponent shift), both engines round half-away-from-zero, and sums
+    stay far under 2^53 (exact BIGINT→DOUBLE). Empty cells keep their
+    previous centroid, ties in assignment go to the smaller cell id.
+
+    At 100 TB: train on a deterministic sample (filter on ``id_col``)
+    and cache the input — each iteration is one scan + one O(n_cells)
+    shuffle (map-side combine does the heavy lifting).
+    """
+    import math
+
+    cents = ivf_centroids(n_cells, dim)  # deterministic unit-norm init
+    scaled = [
+        F.sum(
+            F.round(F.col(vec_col)[i].cast("double") * F.lit(float(IVF_SCALE))).cast("long")
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(n_iters):
+        assigned = emb.withColumn("_cell", ivf_cell_ranking(vec_col, cents).getItem(0))
+        rows = assigned.groupBy("_cell").agg(F.count("*").alias("_n"), *scaled).collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            v = [(r[f"s{i}"] / r["_n"]) / IVF_SCALE for i in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in v))
+            if nrm > 0:
+                new[r["_cell"]] = [x / nrm for x in v]
+        cents = new
+    return cents
+
+
 def ivf_cell_ranking(vec_col: str, centroids: list[list[float]]) -> Column:
     """Array of cell ids ordered by descending dot(vec, centroid)
     (ties → smaller cell id). Element 0 is the home cell; the first
@@ -198,16 +251,17 @@ def ann_ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize every vector to its
     argmax-cosine centroid cell, search only the query's ``nprobe``
     nearest cells. The candidate join is an equi-join on ``_cell``;
     at scale the cell is a partition/cluster key so each probe touches
     one cell's files (same pruning story as the LSH variant, but the
-    cells adapt to the data distribution once the codebook is trained).
-    Recall < 1 by construction — the nprobe dial trades recall for
-    touched cells."""
-    cents = ivf_centroids(n_cells, dim)
+    cells adapt to the data distribution once the codebook is trained —
+    pass ``centroids`` from :func:`train_ivf_centroids`). Recall < 1 by
+    construction — the nprobe dial trades recall for touched cells."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     ranking = ivf_cell_ranking(vec_col, cents)
     bucketed = emb.withColumn("_cell", ranking.getItem(0))
     q = (
@@ -416,6 +470,7 @@ def embedding_neardup_pairs_ivf(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold — IVF-blocked,
     APPROXIMATE (recall < 1 by construction, dialable via ``nprobe``).
@@ -430,9 +485,10 @@ def embedding_neardup_pairs_ivf(
     result. ``nprobe = n_cells`` degenerates to exact (every pair is a
     candidate). At scale the cell is a partition/cluster key: the
     candidate join is a plain equi-join touching each cell's files only,
-    and a trained (k-means) codebook replaces the deterministic one.
+    and a trained (k-means) codebook replaces the deterministic one
+    (pass ``centroids`` from :func:`train_ivf_centroids`).
     """
-    cents = ivf_centroids(n_cells, dim)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     ranking = ivf_cell_ranking(vec_col, cents)
     home = emb.select(F.col(id_col).alias("id_b"), ranking.getItem(0).alias("_cell"))
     probes = emb.select(

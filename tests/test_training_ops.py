@@ -234,3 +234,47 @@ def test_neardup_candidate_observation(spark):
     n = emb(spark).count()
     ratio = obs.get["n_candidates"] / (n * (n - 1) / 2)
     assert 0 < ratio <= 0.60
+
+
+def test_trained_ivf_beats_untrained_on_clustered_corpus(spark):
+    """k-means training adapts the coarse quantizer to the data: on a
+    synthetic corpus of well-separated clusters, trained-codebook IVF
+    recall at nprobe=1 must be at least the untrained (pseudo-random
+    codebook) recall, and high in absolute terms — the untrained
+    codebook slices clusters arbitrarily (VERDICT r3 item 2)."""
+    import numpy as np
+
+    from kafka_plugins_spark.operators.similarity import (
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 16, 6, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + 0.12 * rng.normal(size=(per, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(e, n_queries=12, k=5).collect()}
+
+    def recall(centroids):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ann_ivf_topk(e, n_queries=12, k=5, dim=dim,
+                                     n_cells=n_clusters, nprobe=1,
+                                     centroids=centroids).collect()}
+        return len(got & bf) / len(bf)
+
+    trained = train_ivf_centroids(e, n_cells=n_clusters, dim=dim, n_iters=4)
+    r_untrained = recall(None)
+    r_trained = recall(trained)
+    assert r_trained >= r_untrained, (r_trained, r_untrained)
+    assert r_trained >= 0.9, f"trained codebook should align with clusters: {r_trained}"
