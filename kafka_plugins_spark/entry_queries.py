@@ -251,6 +251,23 @@ def q_media_png_decode(spark, sf):
     return image_pixel_stats(synthesize_png_table(ids), id_col="doc_id")
 
 
+def q_media_jpeg_decode(spark, sf):
+    """REAL baseline-JPEG decode, driver-verified end-to-end: per
+    document, synthesize a greyscale JPEG of 8×8-constant blocks
+    (block (by,bx) = (doc_id*17 + by*31 + bx*7) % 256, unit quant —
+    the DC-only case whose round trip is bit-exact), then DECODE with
+    the pure-numpy Huffman+IDCT codec and emit integer pixel stats.
+    The oracle recomputes the stats from the closed-form block rule —
+    it matches iff decode(encode(pixels)) == pixels for every image."""
+    from kafka_plugins_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_table,
+    )
+
+    ids = _t(spark, sf, "documents").select("doc_id")
+    return image_pixel_stats(synthesize_jpeg_table(ids), id_col="doc_id")
+
+
 def q_media_png_resize(spark, sf):
     """Full decode→transform→encode media stage, driver-verified: per
     document synthesize a PNG (closed-form pixels), nearest-neighbor
@@ -309,6 +326,29 @@ MEDIA_ORACLES = {
                min(v)::BIGINT AS pixel_min,
                max(v)::BIGINT AS pixel_max
         FROM px GROUP BY doc_id, height, width
+    """,
+    # mirrors synthesize_jpeg_table's block rule: (2+id%2)×(2+id%3)
+    # blocks of 8×8 constant pixels v=(id*17+by*31+bx*7)%256 — each
+    # block contributes 64·v to the sum
+    "media_jpeg_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   (2 + doc_id % 2) AS bh,
+                   (2 + doc_id % 3) AS bw
+            FROM documents),
+        blocks AS (
+            SELECT d.doc_id, d.bh, d.bw,
+                   (d.doc_id * 17 + i.by * 31 + j.bx * 7) % 256 AS v
+            FROM dims d,
+                 UNNEST(generate_series(0, d.bh - 1)) AS i(by),
+                 UNNEST(generate_series(0, d.bw - 1)) AS j(bx))
+        SELECT doc_id,
+               (8 * bh)::INT AS height,
+               (8 * bw)::INT AS width,
+               (64 * sum(v))::BIGINT AS pixel_sum,
+               min(v)::BIGINT AS pixel_min,
+               max(v)::BIGINT AS pixel_max
+        FROM blocks GROUP BY doc_id, bh, bw
     """,
     # nearest-neighbor resize of the synthetic PNGs to 5×7:
     # out[i,j] = src[(i·h)//5, (j·w)//7], src pixel k = (id*7 + k) % 256
@@ -1174,6 +1214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,
     "media_png_decode": q_media_png_decode,
+    "media_jpeg_decode": q_media_jpeg_decode,
     "media_png_resize": q_media_png_resize,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,

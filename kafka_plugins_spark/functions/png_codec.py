@@ -148,28 +148,41 @@ def decode_png(data: bytes) -> np.ndarray:
             recon = line.copy()
         elif ftype == 2:  # Up — fully vectorized
             recon = line + prior  # uint8 wraps mod 256, per spec
-        else:
-            # Sub/Average/Paeth recurse on the just-reconstructed left
-            # pixel — sequential in the pixel axis by definition. Work
-            # in int16 and mask; the loop is per-pixel-column, not per
-            # byte-of-image (rows of one image only; Arrow batches keep
-            # whole images per task, so this never crosses rows).
+        elif ftype == 1:
+            # Sub recursion recon[i] = line[i] + recon[i-bpp] unrolls to a
+            # per-channel-lane prefix sum mod 256 — fully vectorized
             recon = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = recon[i - bpp] if i >= bpp else 0
-                up = prior[i]
-                up_left = prior[i - bpp] if i >= bpp else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (int(left) + int(up)) // 2
-                elif ftype == 4:
-                    p = int(left) + int(up) - int(up_left)
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - up_left)
+            for c in range(bpp):
+                lane = line[c::bpp].astype(np.int64)
+                recon[c::bpp] = (np.cumsum(lane) & 0xFF).astype(np.uint8)
+        elif ftype in (3, 4):
+            # Average/Paeth recurse on the just-reconstructed left pixel
+            # through a nonlinear predictor — inherently sequential in
+            # the pixel axis. Run the chain over plain Python ints
+            # (lists), not numpy scalar indexing (~8× faster); the loop
+            # is rows-of-one-image only — Arrow batches keep whole
+            # images per task, so this never crosses rows.
+            ln, pr = line.tolist(), prior.tolist()
+            rec = [0] * stride
+            if ftype == 3:
+                for i in range(bpp):
+                    rec[i] = (ln[i] + (pr[i] >> 1)) & 0xFF
+                for i in range(bpp, stride):
+                    rec[i] = (ln[i] + ((rec[i - bpp] + pr[i]) >> 1)) & 0xFF
+            else:
+                for i in range(bpp):
+                    rec[i] = (ln[i] + pr[i]) & 0xFF  # Paeth(0, up, 0) = up
+                for i in range(bpp, stride):
+                    left, up, up_left = rec[i - bpp], pr[i], pr[i - bpp]
+                    p = left + up - up_left
+                    pa = p - left if p >= left else left - p
+                    pb = p - up if p >= up else up - p
+                    pc = p - up_left if p >= up_left else up_left - p
                     pred = left if pa <= pb and pa <= pc else (up if pb <= pc else up_left)
-                else:
-                    raise ValueError(f"bad filter type {ftype}")
-                recon[i] = (int(line[i]) + int(pred)) & 0xFF
+                    rec[i] = (ln[i] + pred) & 0xFF
+            recon = np.array(rec, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
         out[y] = recon
         prior = recon
     return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)

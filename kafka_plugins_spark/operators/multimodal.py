@@ -5,10 +5,11 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators (one Python invocation per batch, never per
 row). PNG decode is REAL (pure zlib+numpy codec,
 :mod:`kafka_plugins_spark.functions.png_codec` — full filter set,
-CRC-checked, driver-oracle-verified via :func:`image_pixel_stats`);
-JPEG/audio remain documented stubs behind a deterministic fake, since
-their codecs need libraries the sandbox image lacks — swap
-``_decode_image_bytes`` on a cluster that has them.
+CRC-checked) and so is baseline JPEG (pure numpy Huffman+IDCT codec,
+:mod:`kafka_plugins_spark.functions.jpeg_codec` — grayscale/4:4:4/
+4:2:0), both driver-oracle-verified via :func:`image_pixel_stats`.
+Audio/video frame decode remains a documented deterministic fake —
+swap ``_decode_image_bytes`` on a cluster with real codec libraries.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_plugins_spark.functions import png_codec
+from kafka_plugins_spark.functions import jpeg_codec, png_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -72,14 +73,18 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 def _decode_image_bytes(data: bytes) -> np.ndarray:
     """Image bytes → uint8 pixel array.
 
-    PNG decodes for REAL — pure stdlib-zlib + numpy codec
-    (:mod:`kafka_plugins_spark.functions.png_codec`), full filter set,
-    CRC-checked, round-trip tested. JPEG stays a documented stub (a DCT
-    codec needs a real library): non-PNG bytes map to a deterministic
-    fake grid so the surrounding Arrow plumbing stays exercised; swap in
-    PIL/libvips here on a cluster that has them."""
+    PNG and baseline JPEG both decode for REAL — pure numpy codecs
+    (:mod:`kafka_plugins_spark.functions.png_codec`,
+    :mod:`kafka_plugins_spark.functions.jpeg_codec`): PNG covers the
+    full filter set CRC-checked; JPEG covers baseline sequential
+    grayscale/4:4:4/4:2:0 with loud refusals for progressive et al.
+    Remaining non-image bytes (audio/video frames) map to a
+    deterministic fake grid so the surrounding Arrow plumbing stays
+    exercised; swap in PIL/libvips here on a cluster that has them."""
     if data[:8] == png_codec.PNG_SIGNATURE:
         return png_codec.decode_png(data)
+    if data[:2] == jpeg_codec.JPEG_SIGNATURE:
+        return jpeg_codec.decode_jpeg(data)
     arr = np.frombuffer(data, dtype=np.uint8)
     side = max(int(len(arr) ** 0.5), 1)
     return arr[: side * side].reshape(side, side)
@@ -163,6 +168,38 @@ def synthesize_png_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 h, w = 6 + i % 4, 8 + i % 5
                 arr = ((i * 7 + np.arange(h * w)) % 256).astype(np.uint8).reshape(h, w)
                 blobs.append(png_codec.encode_png(arr, filter_type=i % 5))
+            yield pd.DataFrame({id_col: pdf[id_col], "data": blobs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, ids.schema[id_col].dataType, False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def synthesize_jpeg_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, data) with REAL baseline-JPEG bytes, generated
+    distributed (mapInPandas): image ``i`` is a greyscale image of
+    (2 + i%2) × (2 + i%3) 8×8 blocks where block (by, bx) is CONSTANT
+    with value ``(i*17 + by*31 + bx*7) % 256``, encoded at unit quant.
+    Block-constant pixels have a DC-only DCT whose unit-quant round trip
+    is bit-exact (test_jpeg.py), so the closed-form block rule survives
+    the lossy codec and a SQL engine can recompute the decoded pixel
+    stats without decoding anything — the same oracle pattern as
+    :func:`synthesize_png_table`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                bh, bw = 2 + i % 2, 2 + i % 3
+                by, bx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+                vals = ((i * 17 + by * 31 + bx * 7) % 256).astype(np.uint8)
+                arr = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                blobs.append(jpeg_codec.encode_jpeg(arr))
             yield pd.DataFrame({id_col: pdf[id_col], "data": blobs})
 
     out_schema = T.StructType(
