@@ -146,15 +146,35 @@ def full_bench(sf_dir: str, cores: int) -> dict:
         # The host steals CPU in minute-scale windows (identical runs vary
         # 3-8×) — take the best of up to 3 replays (time-capped) so one
         # dirty window doesn't define the recorded sustained throughput.
+        # Each replay is preceded by the SAME interleaved pure-CPU md5
+        # control the scaling harness uses, so the headline number ships
+        # with per-run evidence of what the host could deliver at that
+        # moment (VERDICT r3 item 1: round-over-round headline deltas are
+        # otherwise unattributable between engine and host).
+        ctrl_width = min(cores, os.cpu_count() or cores)
         reps, spent = [], 0.0
         for i in range(3):
+            ctrl = _cpu_control(ctrl_width)
+            s0 = _steal_sec()
             r = _run_replay(spark, ev, f"{work}/table{i}", warmup=(i == 0))
+            r["control_md5_per_sec"] = round(ctrl)
+            r["steal_cpu_sec"] = round(_steal_sec() - s0, 1)
+            # throughput normalized by host capability that moment —
+            # comparable ACROSS rounds even when the host throttles
+            r["events_per_million_md5"] = round(
+                r["events_per_sec"] / (ctrl / 1e6), 1
+            )
             reps.append(r)
             spent += r["replay_sec"]
             if spent > 180:
                 break
         rep = max(reps, key=lambda r: r["events_per_sec"])
         rep["all_runs_events_per_sec"] = [r["events_per_sec"] for r in reps]
+        rep["all_runs_control_md5_per_sec"] = [r["control_md5_per_sec"] for r in reps]
+        rep["all_runs_steal_cpu_sec"] = [r["steal_cpu_sec"] for r in reps]
+        rep["all_runs_events_per_million_md5"] = [
+            r["events_per_million_md5"] for r in reps
+        ]
         out["cdc_replay"] = rep
         out["metric"] = "cdc replay-to-converged-table throughput"
         out["value"] = rep["events_per_sec"]
@@ -358,6 +378,46 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
 
     best_round = max(round_effs, key=lambda r: r["engine_eff"])
     med = sorted(r["engine_eff"] for r in round_effs)[len(round_effs) // 2]
+
+    # windowed + host-correlation summary (VERDICT r3 item 7): the history
+    # spans weeks of host weather — a rolling median shows the current
+    # regime, and splitting rounds at the 0.8 bar shows whether the misses
+    # track host health (control eff / md5 rate / steal) or the engine
+    def _mean(xs):
+        xs = [x for x in xs if x is not None]
+        return round(sum(xs) / len(xs), 3) if xs else None
+
+    recent = [r["engine_eff"] for r in round_effs[-10:]]
+    windowed_med = sorted(recent)[len(recent) // 2]
+    sub = [h for h in history if h["engine_eff"] < 0.8]
+    geq = [h for h in history if h["engine_eff"] >= 0.8]
+
+    def _busy(r):
+        # fraction of the pinned cores the JVM actually got to burn during
+        # the replay — the most direct "was the host stalling THIS run"
+        # signal (the md5 control only samples the seconds before it)
+        if not r.get("jvm_cpu_sec") or not r.get("replay_sec"):
+            return None
+        return r["jvm_cpu_sec"] / (r["replay_sec"] * r["cores"])
+
+    def _host_stats(rows):
+        return {
+            "rounds": len(rows),
+            "mean_control_eff": _mean([h["control_eff"] for h in rows]),
+            "mean_hi_control_md5_per_sec": _mean(
+                [h["runs"][1].get("control_md5_per_sec") for h in rows]
+            ),
+            "mean_steal_cpu_sec": _mean(
+                [
+                    h["runs"][0].get("steal_cpu_sec", 0) + h["runs"][1].get("steal_cpu_sec", 0)
+                    for h in rows
+                ]
+            ),
+            "mean_lo_busy": _mean([_busy(h["runs"][0]) for h in rows]),
+            "mean_hi_busy": _mean([_busy(h["runs"][1]) for h in rows]),
+        }
+
+    host_corr = {"sub_0.8": _host_stats(sub), "geq_0.8": _host_stats(geq)}
     best = {
         c: max((r for r in runs if r["cores"] == c), key=lambda r: r["events_per_sec"])
         for c in (lo, hi)
@@ -370,8 +430,10 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
         f"local{hi}_events_per_sec": best[hi]["events_per_sec"],
         "scaling_efficiency": best_round["engine_eff"],
         "scaling_efficiency_median": med,
+        "scaling_efficiency_windowed_median_10": windowed_med,
         "scaling_efficiency_best_of": round(best_of_eff, 3),
         "control_eff_at_best_round": best_round["control_eff"],
+        "host_correlation": host_corr,
         "rounds": round_effs,
         "runs": runs,
     }
@@ -410,8 +472,31 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
             f"**Scaling efficiency** `T({hi})/({hi // lo}·T({lo}))`: best round "
             f"**{best_round['engine_eff']}** (control that round: "
             f"{best_round['control_eff']}), median {med}, "
+            f"windowed median (last 10 rounds) {windowed_med}, "
             f"best-of-runs {round(best_of_eff, 3)} "
-            f"(north-rule target ≥ 0.8).\n"
+            f"(north-rule target ≥ 0.8).\n\n"
+            "Host correlation of the misses — rounds split at the 0.8 bar,\n"
+            "with the mean host-health signals of each group (a sub-0.8\n"
+            "group that is also control-degraded/steal-heavy points at the\n"
+            "host, not the engine):\n\n"
+            "| group | rounds | mean control eff | mean md5 control/s (hi) | mean steal cpu-s | mean busy lo | mean busy hi |\n"
+            "|---|---|---|---|---|---|---|\n"
+            + "\n".join(
+                f"| {name} | {st['rounds']} | {st['mean_control_eff']} | "
+                + (
+                    f"{round(st['mean_hi_control_md5_per_sec'] / 1e6, 1)}M"
+                    if st["mean_hi_control_md5_per_sec"]
+                    else "-"
+                )
+                + f" | {st['mean_steal_cpu_sec']} | {st['mean_lo_busy']} | {st['mean_hi_busy']} |"
+                for name, st in host_corr.items()
+            )
+            + "\n\n"
+            "'busy' = jvm_cpu_sec / (replay_sec × pinned cores): the share of\n"
+            "its pinned cores the JVM actually burned during THAT replay — a\n"
+            "hi-side busy drop in the sub-0.8 group means the host stalled the\n"
+            "wide run itself (the 2 s md5 control only samples the moments\n"
+            "before each run, so it can miss mid-run stall windows).\n"
         )
     return report
 
