@@ -268,6 +268,23 @@ def q_media_jpeg_decode(spark, sf):
     return image_pixel_stats(synthesize_jpeg_table(ids), id_col="doc_id")
 
 
+def q_media_wav_decode(spark, sf):
+    """REAL audio decode, driver-verified end-to-end: per document,
+    synthesize a mono 16-bit PCM WAV whose sample k is
+    ((doc_id*13 + k*7) % 4001) - 2000 (length/rate derived from doc_id),
+    DECODE it with the pure RIFF/PCM codec and emit integer sample
+    stats. PCM is uncompressed, so the oracle recomputes the stats from
+    the closed-form sample rule — a hash match proves the byte-level
+    encode→decode round trip for every clip."""
+    from kafka_plugins_spark.operators.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_table,
+    )
+
+    ids = _t(spark, sf, "documents").select("doc_id")
+    return audio_sample_stats(synthesize_wav_table(ids), id_col="doc_id")
+
+
 def q_media_png_resize(spark, sf):
     """Full decode→transform→encode media stage, driver-verified: per
     document synthesize a PNG (closed-form pixels), nearest-neighbor
@@ -349,6 +366,27 @@ MEDIA_ORACLES = {
                min(v)::BIGINT AS pixel_min,
                max(v)::BIGINT AS pixel_max
         FROM blocks GROUP BY doc_id, bh, bw
+    """,
+    # mirrors synthesize_wav_table's sample rule: n = 64 + id%33 mono
+    # samples, rate 8000 + (id%3)*4000, sample k = ((id*13+k*7)%4001)-2000
+    "media_wav_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   (64 + doc_id % 33) AS n,
+                   (8000 + (doc_id % 3) * 4000)::INT AS sample_rate
+            FROM documents),
+        s AS (
+            SELECT d.doc_id, d.n, d.sample_rate,
+                   ((d.doc_id * 13 + t.k * 7) % 4001) - 2000 AS v
+            FROM dims d, UNNEST(generate_series(0, d.n - 1)) AS t(k))
+        SELECT doc_id,
+               n::BIGINT AS n_samples,
+               1::INT AS n_channels,
+               sample_rate,
+               sum(v)::BIGINT AS sample_sum,
+               min(v)::BIGINT AS sample_min,
+               max(v)::BIGINT AS sample_max
+        FROM s GROUP BY doc_id, n, sample_rate
     """,
     # nearest-neighbor resize of the synthetic PNGs to 5×7:
     # out[i,j] = src[(i·h)//5, (j·w)//7], src pixel k = (id*7 + k) % 256
@@ -1215,6 +1253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_byte_histogram": q_media_byte_histogram,
     "media_png_decode": q_media_png_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
+    "media_wav_decode": q_media_wav_decode,
     "media_png_resize": q_media_png_resize,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,

@@ -5,11 +5,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators (one Python invocation per batch, never per
 row). PNG decode is REAL (pure zlib+numpy codec,
 :mod:`kafka_plugins_spark.functions.png_codec` — full filter set,
-CRC-checked) and so is baseline JPEG (pure numpy Huffman+IDCT codec,
+CRC-checked), so is baseline JPEG (pure numpy Huffman+IDCT codec,
 :mod:`kafka_plugins_spark.functions.jpeg_codec` — grayscale/4:4:4/
-4:2:0), both driver-oracle-verified via :func:`image_pixel_stats`.
-Audio/video frame decode remains a documented deterministic fake —
-swap ``_decode_image_bytes`` on a cluster with real codec libraries.
+4:2:0; both driver-oracle-verified via :func:`image_pixel_stats`), and
+so is WAV audio (pure RIFF/PCM codec,
+:mod:`kafka_plugins_spark.functions.wav_codec`, driver-oracle-verified
+via :func:`audio_sample_stats`). Only video FRAME decode remains a
+documented deterministic fake (a container demuxer needs real
+libraries) — the frame-sampling plumbing is real.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_plugins_spark.functions import jpeg_codec, png_codec
+from kafka_plugins_spark.functions import jpeg_codec, png_codec, wav_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -209,6 +212,72 @@ def synthesize_jpeg_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def synthesize_wav_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, data) with REAL RIFF/PCM WAV bytes, generated
+    distributed (mapInPandas): clip ``i`` is mono 16-bit PCM with
+    ``64 + i%33`` samples at rate ``8000 + (i%3)*4000``, sample ``k`` =
+    ``((i*13 + k*7) % 4001) - 2000``. PCM is uncompressed, so the
+    closed-form sample rule survives encode→decode exactly and a SQL
+    engine can recompute the decoded stats — same oracle pattern as the
+    PNG/JPEG tables."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 64 + i % 33
+                k = np.arange(n, dtype=np.int64)
+                samples = (((i * 13 + k * 7) % 4001) - 2000).astype(np.int16)
+                blobs.append(wav_codec.encode_wav(samples, 8000 + (i % 3) * 4000))
+            yield pd.DataFrame({id_col: pdf[id_col], "data": blobs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, ids.schema[id_col].dataType, False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def audio_sample_stats(
+    media: DataFrame, data_col: str = "data", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode audio (real RIFF/PCM path) and emit integer sample
+    statistics — the oracle-checkable core of an audio featurizer
+    (a real fbank/MFCC front end starts from exactly these decoded
+    frames). Arrow-batched mapInPandas; decode errors fail loudly."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, media.schema[id_col].dataType, False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("sample_sum", T.LongType(), False),
+            T.StructField("sample_min", T.LongType(), False),
+            T.StructField("sample_max", T.LongType(), False),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: pdf[id_col], "n_samples": [], "n_channels": [],
+                    "sample_rate": [], "sample_sum": [], "sample_min": [],
+                    "sample_max": []}
+            for data in pdf[data_col]:
+                samples, rate = wav_codec.decode_wav(bytes(data))
+                rows["n_samples"].append(samples.shape[0])
+                rows["n_channels"].append(samples.shape[1])
+                rows["sample_rate"].append(rate)
+                rows["sample_sum"].append(int(samples.sum(dtype=np.int64)))
+                rows["sample_min"].append(int(samples.min()))
+                rows["sample_max"].append(int(samples.max()))
+            yield pd.DataFrame(rows, index=pdf.index)
+
+    return media.select(id_col, data_col).mapInPandas(stats, schema=out_schema)
 
 
 def image_pixel_stats(
