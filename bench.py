@@ -19,7 +19,7 @@ Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
     python bench.py --scaling
     python bench.py --stretch [--multiplier 10]
-    python bench.py --replay-only --cores 8 --events /tmp/x  (internal)
+    python bench.py --replay-only --cores 8 --events /tmp/x  (subprocess helper)
 """
 
 from __future__ import annotations
@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "knn_label_vote",
     "emb_neardup_ivf",
     "media_png_decode",
+    "media_jpeg_decode",
 ]
 
 

@@ -877,6 +877,18 @@ def q_dedup_minhash_lsh(spark, sf):
     return dd.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the n-gram-Jaccard pair graph: each doc
+    labeled with the min doc_id of its near-dup cluster — the step that
+    turns pair detection into a keep-one-per-cluster dedup policy. The
+    Spark side is iterative min-label propagation (join + groupBy-min
+    per round, converged); the oracle computes the same closure with a
+    recursive CTE, so a hash match proves the component labeling, not
+    just the pair set."""
+    docs = _t(spark, sf, "documents")
+    return dd.dedup_clusters(docs, dd.ngram_jaccard_pairs(docs, threshold=0.2))
+
+
 def q_dedup_simhash(spark, sf):
     return dd.simhash_duplicates(_t(spark, sf, "documents"))
 
@@ -964,6 +976,25 @@ DEDUP_ORACLES = {
         FROM simt GROUP BY simhash HAVING count(*) > 1
     """,
 }
+
+# connected components over the Jaccard pair graph, as a recursive CTE:
+# reach(d, l) holds every label l that can reach doc d through the
+# symmetric edge set, so min(l) per doc is the component minimum — the
+# exact quantity the Spark min-label propagation converges to
+DEDUP_ORACLES["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({DEDUP_ORACLES["dedup_ngram_jaccard"]}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.doc_id)
+        SELECT doc_id::BIGINT AS doc_id, min(label)::BIGINT AS cluster_id
+        FROM reach GROUP BY doc_id
+    """
 
 
 # =========================================================================
@@ -1274,6 +1305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "emb_neardup": q_emb_neardup,

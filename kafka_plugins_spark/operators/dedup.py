@@ -243,3 +243,61 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc
+    gets ``cluster_id`` = the MIN doc id of its component (singletons
+    keep their own id). This is the step that turns pair detectors
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`) into an
+    actionable dedup policy — keep the canonical doc per cluster, drop
+    the rest.
+
+    Algorithm: iterative min-label propagation — each round every doc
+    takes the min of its own label and its neighbors' labels (one
+    equi-join + groupBy-min per round, both partition-parallel), until a
+    round changes nothing. Rounds needed = graph diameter, and near-dup
+    components are small/dense (dups of one source), so this converges
+    in a few rounds; labels are eagerly localCheckpoint'ed each round so
+    the plan does not grow with iterations. For adversarial long-chain
+    graphs at 100 TB, the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce", SOCC'14) bounds rounds by
+    O(log n) with the same join/agg primitives — this propagation loop
+    is the honest default for the dedup workload, not a general CC
+    solver. Raises after ``max_iters`` non-converged rounds rather than
+    returning partial labels.
+    """
+    sym = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst"))
+    )
+    labels = docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
+    )
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(prop, labels["id"] == prop["dst"], "left").select(
+            labels["id"],
+            F.least(labels["label"], F.coalesce(prop["nlabel"], labels["label"])).alias("label"),
+            (F.coalesce(prop["nlabel"], labels["label"]) < labels["label"]).alias("_chg"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("_chg")).count()
+        labels = stepped.drop("_chg")
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")

@@ -278,3 +278,25 @@ def test_trained_ivf_beats_untrained_on_clustered_corpus(spark):
     r_trained = recall(trained)
     assert r_trained >= r_untrained, (r_trained, r_untrained)
     assert r_trained >= 0.9, f"trained codebook should align with clusters: {r_trained}"
+
+
+def test_dedup_clusters_chains_and_singletons(spark):
+    """Min-label propagation must converge across multi-hop chains (the
+    min reaches the far end only after diameter rounds), label merged
+    components by their global min, and leave singletons alone."""
+    from kafka_plugins_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), triangle 7-8-9 plus bridge 9-10
+        [(4, 5), (3, 4), (2, 3), (1, 2), (7, 8), (8, 9), (7, 9), (9, 10)],
+        "doc_a: long, doc_b: long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6,
+                   7: 7, 8: 7, 9: 7, 10: 7, 11: 11}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iters=1)
