@@ -285,6 +285,23 @@ def q_media_wav_decode(spark, sf):
     return audio_sample_stats(synthesize_wav_table(ids), id_col="doc_id")
 
 
+def q_media_video_frames(spark, sf):
+    """REAL video path, driver-verified end-to-end: per document,
+    synthesize an AVI/MJPEG clip (2 + id%3 frames of 16×16 block-
+    constant JPEGs, closed-form block rule), DEMUX it with the pure
+    RIFF walker, DECODE every frame with the pure-numpy JPEG codec, and
+    emit one row per (doc, frame) with integer pixel stats. The oracle
+    recomputes the stats from the block rule — a hash match proves
+    container parse + per-frame decode for every frame of every clip."""
+    from kafka_plugins_spark.operators.multimodal import (
+        synthesize_avi_table,
+        video_frame_stats,
+    )
+
+    ids = _t(spark, sf, "documents").select("doc_id")
+    return video_frame_stats(synthesize_avi_table(ids), id_col="doc_id")
+
+
 def q_media_png_resize(spark, sf):
     """Full decode→transform→encode media stage, driver-verified: per
     document synthesize a PNG (closed-form pixels), nearest-neighbor
@@ -366,6 +383,28 @@ MEDIA_ORACLES = {
                min(v)::BIGINT AS pixel_min,
                max(v)::BIGINT AS pixel_max
         FROM blocks GROUP BY doc_id, bh, bw
+    """,
+    # mirrors synthesize_avi_table: 2+id%3 frames, fps 5+id%4, 2×2 blocks
+    # of 8×8 constant pixels v = (id*17 + f*11 + by*31 + bx*7) % 256
+    "media_video_frames": """
+        WITH clips AS (
+            SELECT doc_id, (2 + doc_id % 3) AS nf, (5 + doc_id % 4)::INT AS fps
+            FROM documents),
+        frames AS (
+            SELECT c.doc_id, c.fps, t.f::INT AS frame_idx
+            FROM clips c, UNNEST(generate_series(0, c.nf - 1)) AS t(f)),
+        blocks AS (
+            SELECT fr.doc_id, fr.frame_idx, fr.fps,
+                   (fr.doc_id * 17 + fr.frame_idx * 11 + i.by * 31 + j.bx * 7) % 256 AS v
+            FROM frames fr,
+                 UNNEST(generate_series(0, 1)) AS i(by),
+                 UNNEST(generate_series(0, 1)) AS j(bx))
+        SELECT doc_id, frame_idx, fps,
+               16::INT AS height, 16::INT AS width,
+               (64 * sum(v))::BIGINT AS pixel_sum,
+               min(v)::BIGINT AS pixel_min,
+               max(v)::BIGINT AS pixel_max
+        FROM blocks GROUP BY doc_id, frame_idx, fps
     """,
     # mirrors synthesize_wav_table's sample rule: n = 64 + id%33 mono
     # samples, rate 8000 + (id%3)*4000, sample k = ((id*13+k*7)%4001)-2000
@@ -1285,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_png_decode": q_media_png_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_wav_decode": q_media_wav_decode,
+    "media_video_frames": q_media_video_frames,
     "media_png_resize": q_media_png_resize,
     "pricing_summary": q_pricing_summary,
     "customers_without_orders": q_customers_without_orders,

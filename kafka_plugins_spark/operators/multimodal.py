@@ -10,9 +10,12 @@ CRC-checked), so is baseline JPEG (pure numpy Huffman+IDCT codec,
 4:2:0; both driver-oracle-verified via :func:`image_pixel_stats`), and
 so is WAV audio (pure RIFF/PCM codec,
 :mod:`kafka_plugins_spark.functions.wav_codec`, driver-oracle-verified
-via :func:`audio_sample_stats`). Only video FRAME decode remains a
-documented deterministic fake (a container demuxer needs real
-libraries) — the frame-sampling plumbing is real.
+via :func:`audio_sample_stats`), and so is VIDEO for the MJPEG/AVI
+case (pure RIFF demuxer :mod:`kafka_plugins_spark.functions.avi_codec`
++ per-frame JPEG decode, driver-oracle-verified via
+:func:`video_frame_stats`). Inter-frame codecs (H.264 et al.) are out
+of scope without real libraries; unknown binary payloads fall back to
+the documented deterministic fake grid in ``_decode_image_bytes``.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_plugins_spark.functions import jpeg_codec, png_codec, wav_codec
+from kafka_plugins_spark.functions import avi_codec, jpeg_codec, png_codec, wav_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -276,6 +279,82 @@ def audio_sample_stats(
                 rows["sample_min"].append(int(samples.min()))
                 rows["sample_max"].append(int(samples.max()))
             yield pd.DataFrame(rows, index=pdf.index)
+
+    return media.select(id_col, data_col).mapInPandas(stats, schema=out_schema)
+
+
+def synthesize_avi_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, data) with REAL AVI/MJPEG bytes, generated distributed
+    (mapInPandas): video ``i`` has ``2 + i%3`` frames of 16×16 grayscale,
+    frame ``f`` built from 2×2 blocks of 8×8 constant pixels
+    ``(i*17 + f*11 + by*31 + bx*7) % 256`` at unit quant (the bit-exact
+    JPEG round-trip case), muxed at ``5 + i%4`` fps. The closed-form
+    block rule survives demux+decode exactly, so a SQL engine can
+    recompute every frame's stats — same oracle pattern as the image
+    and audio tables."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                frames = []
+                for f in range(2 + i % 3):
+                    by, bx = np.meshgrid(np.arange(2), np.arange(2), indexing="ij")
+                    vals = ((i * 17 + f * 11 + by * 31 + bx * 7) % 256).astype(np.uint8)
+                    arr = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    frames.append(jpeg_codec.encode_jpeg(arr))
+                blobs.append(avi_codec.encode_avi_mjpeg(frames, 16, 16, fps=5 + i % 4))
+            yield pd.DataFrame({id_col: pdf[id_col], "data": blobs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, ids.schema[id_col].dataType, False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+
+
+def video_frame_stats(
+    media: DataFrame, data_col: str = "data", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL video frame decode: demux AVI/MJPEG (pure RIFF walker) and
+    decode every frame with the pure-numpy JPEG codec, emitting one row
+    per (video, frame) with integer pixel stats — the oracle-checkable
+    core of a frame featurizer, and the row-explosion shape a real
+    frame-sampling pipeline has (one input row fans out to n_frames
+    rows inside the same Arrow batch, no JVM explode needed)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, media.schema[id_col].dataType, False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("fps", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("pixel_sum", T.LongType(), False),
+            T.StructField("pixel_min", T.LongType(), False),
+            T.StructField("pixel_max", T.LongType(), False),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "frame_idx", "fps", "height",
+                                    "width", "pixel_sum", "pixel_min", "pixel_max")}
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                frames, fps, _ = avi_codec.decode_avi_mjpeg(bytes(data))
+                for fi, blob in enumerate(frames):
+                    arr = jpeg_codec.decode_jpeg(blob)
+                    rows[id_col].append(mid)
+                    rows["frame_idx"].append(fi)
+                    rows["fps"].append(fps)
+                    rows["height"].append(arr.shape[0])
+                    rows["width"].append(arr.shape[1])
+                    rows["pixel_sum"].append(int(arr.sum(dtype=np.int64)))
+                    rows["pixel_min"].append(int(arr.min()))
+                    rows["pixel_max"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
 
     return media.select(id_col, data_col).mapInPandas(stats, schema=out_schema)
 
