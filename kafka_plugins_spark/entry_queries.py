@@ -133,6 +133,42 @@ def q_cdc_final_state_mor(spark, sf):
     return out
 
 
+def q_cdc_decode_dlq(spark, sf):
+    """Dead-letter routing, driver-verified: build a wire frame from the
+    events table where user_id%37==0 payloads are corrupted to invalid
+    JSON and user_id%41==0 payloads are valid JSON missing the required
+    CDC fields; decode with the DLQ split and return the quarantined
+    rows. The oracle recomputes exactly which events are corrupt from
+    the id rule — a hash match proves the router neither drops nor
+    misclassifies (malformed vs missing-required) a single record."""
+    from kafka_plugins_spark.functions.decode import decode_transcript_events_with_dlq
+
+    ev = _t(spark, sf, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.col("event_type").alias("role"),
+            F.col("value").cast("string").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit("U").alias("op"),
+        )
+    )
+    value = (
+        F.when(F.col("user_id") % 37 == 0, F.lit("{corrupt not json"))
+        .when(F.col("user_id") % 41 == 0, F.lit('{"role": "user", "op": null}'))
+        .otherwise(payload)
+    )
+    frame = ev.select(
+        value.alias("value"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    good, dlq = decode_transcript_events_with_dlq(frame)
+    return dlq.select("partition", "offset", "reason")
+
+
 def q_cdc_partition_offsets(spark, sf):
     """Per-partition cursor planning (B2/B4): end offset + row count."""
     ev = _t(spark, sf, "events")
@@ -157,6 +193,16 @@ FROM events GROUP BY user_id, event_type
 
 CDC_ORACLES = {
     "cdc_dedup": "SELECT DISTINCT user_id, event_id, event_type FROM events",
+    # mirrors q_cdc_decode_dlq's corruption rule: %37 → invalid JSON,
+    # else %41 → parseable but missing required fields
+    "cdc_decode_dlq": """
+        SELECT (user_id % 8)::INT AS partition,
+               event_id AS offset,
+               CASE WHEN user_id % 37 = 0 THEN 'malformed_json'
+                    ELSE 'missing_required' END AS reason
+        FROM events
+        WHERE user_id % 37 = 0 OR user_id % 41 = 0
+    """,
     "cdc_lww": _CDC_LWW_SQL,
     "cdc_lww_salted": _CDC_LWW_SQL,
     "cdc_final_state": """
@@ -916,6 +962,21 @@ def q_dedup_minhash_lsh(spark, sf):
     return dd.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination, driver-verified: docs with doc_id%7==0
+    play the eval set, the rest the training corpus; report (train, eval)
+    pairs whose shingle containment |S(train)∩S(eval)|/|S(eval)| ≥ 0.5 —
+    the asymmetric leak metric (a long train doc embedding a whole eval
+    item has low Jaccard but containment ≈ 1). Candidates from sub-cap
+    shingles, containment verified over full sets."""
+    docs = _t(spark, sf, "documents")
+    return dd.contamination_pairs(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        threshold=0.5,
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Connected components over the n-gram-Jaccard pair graph: each doc
     labeled with the min doc_id of its near-dup cluster — the step that
@@ -1015,6 +1076,27 @@ DEDUP_ORACLES = {
         FROM simt GROUP BY simhash HAVING count(*) > 1
     """,
 }
+
+DEDUP_ORACLES["decontaminate"] = f"""
+        WITH {_SHINGLES_CTE},
+        tr AS (SELECT doc_id AS train_doc_id, shingle FROM shingles WHERE doc_id % 7 <> 0),
+        ev AS (SELECT doc_id AS eval_doc_id, shingle FROM shingles WHERE doc_id % 7 = 0),
+        freq AS (SELECT shingle, count(*) AS f FROM tr GROUP BY shingle),
+        trc AS (SELECT t.train_doc_id, t.shingle FROM tr t
+                JOIN freq USING (shingle) WHERE f <= 128),
+        cand AS (SELECT DISTINCT c.train_doc_id, e.eval_doc_id
+                 FROM trc c JOIN ev e USING (shingle)),
+        inter AS (SELECT t.train_doc_id, e.eval_doc_id, count(*) AS n_common
+                  FROM tr t JOIN ev e USING (shingle)
+                  GROUP BY t.train_doc_id, e.eval_doc_id),
+        sz AS (SELECT eval_doc_id, count(*) AS sz FROM ev GROUP BY eval_doc_id)
+        SELECT i.train_doc_id, i.eval_doc_id, i.n_common,
+               round(i.n_common / s.sz, 4) AS containment
+        FROM inter i
+        JOIN cand USING (train_doc_id, eval_doc_id)
+        JOIN sz s USING (eval_doc_id)
+        WHERE round(i.n_common / s.sz, 4) >= 0.5
+    """
 
 # connected components over the Jaccard pair graph, as a recursive CTE:
 # reach(d, l) holds every label l that can reach doc d through the
@@ -1319,6 +1401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_final_state_mor": q_cdc_final_state_mor,
     "cdc_partition_offsets": q_cdc_partition_offsets,
+    "cdc_decode_dlq": q_cdc_decode_dlq,
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,
     "media_png_decode": q_media_png_decode,
@@ -1346,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "emb_neardup": q_emb_neardup,

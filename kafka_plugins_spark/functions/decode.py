@@ -324,3 +324,63 @@ def decode_transcript_events(df: DataFrame) -> DataFrame:
     return df.select(
         parsed.alias("_m"), F.col("partition"), F.col("offset")
     ).select("_m.*", "partition", "offset")
+
+
+def decode_transcript_events_with_dlq(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split decode with a dead-letter queue: rows whose payload fails
+    JSON parsing, or parses but lacks the required CDC fields
+    (conv_id/turn_idx/op), are routed to a DLQ frame carrying the RAW
+    value plus envelope and a reason tag, instead of poisoning the
+    stream with nulls or failing the batch (the reference connectors'
+    error-collector contract, generalized: ``KafkaBatchSource`` routes
+    transform failures per-record). Both outputs are lazy projections of
+    one parse — Catalyst computes ``from_json`` once per side, no Python.
+
+    In the streaming pipeline, write the DLQ side to a quarantine sink
+    inside the same ``foreachBatch`` (the fence covers both: a replayed
+    batch re-quarantines identically, so the DLQ is idempotent per
+    offset range).
+
+    Returns ``(good, dlq)``: good has CHANGE_EVENT columns; dlq has
+    ``(value, partition, offset, reason)`` with reason ∈
+    {'malformed_json', 'missing_required'}.
+    """
+    from kafka_plugins_spark.schema import TRANSCRIPT
+
+    # PERMISSIVE from_json yields a struct of NULLS for malformed input
+    # (not a null struct), so malformed-vs-missing is discriminated via
+    # the spec'd corrupt-record column, which captures the raw string
+    # only when parsing itself failed
+    payload_schema = T.StructType(
+        list(TRANSCRIPT.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("_corrupt", T.StringType(), True),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value").cast("string"),
+        payload_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    tagged = df.select(parsed.alias("_m"), "value", "partition", "offset")
+    malformed = F.col("_m._corrupt").isNotNull()
+    missing = (
+        F.col("_m.conv_id").isNull()
+        | F.col("_m.turn_idx").isNull()
+        | F.col("_m.op").isNull()
+    )
+    good = (
+        tagged.filter(~malformed & ~missing)
+        .select("_m.*", "partition", "offset")
+        .drop("_corrupt")
+    )
+    dlq = tagged.filter(malformed | missing).select(
+        "value",
+        "partition",
+        "offset",
+        F.when(malformed, F.lit("malformed_json"))
+        .otherwise(F.lit("missing_required"))
+        .alias("reason"),
+    )
+    return good, dlq

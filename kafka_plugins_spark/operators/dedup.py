@@ -301,3 +301,54 @@ def dedup_clusters(
                 F.col("id").alias(id_col), F.col("label").alias("cluster_id")
             )
     raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 128,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: (train_doc_id, eval_doc_id) pairs
+    whose shingle CONTAINMENT — |S(train) ∩ S(eval)| / |S(eval)| — is ≥
+    threshold. Containment (not Jaccard) is the right asymmetric metric:
+    a long training doc that embeds a whole eval item has low Jaccard but
+    containment ≈ 1, and it is exactly the leak a benchmark audit must
+    catch.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: candidates come from
+    a sub-cap shingle equi-join (skew bound on the TRAIN side, the big
+    one), and the containment of surviving candidates is verified over
+    the FULL shingle sets by pair expansion — never an uncapped
+    train×eval shingle intersection. A pair is found iff it shares ≥1
+    sub-cap shingle; a real leak shares many.
+    """
+    tr = word_shingles(train, n=n, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ev = word_shingles(evalset, n=n, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    trc = tr
+    if max_shingle_freq is not None:
+        freq = tr.groupBy("shingle").agg(F.count("*").alias("_f"))
+        trc = tr.join(
+            freq.filter(F.col("_f") <= max_shingle_freq).drop("_f"), "shingle", "left_semi"
+        )
+    cands = trc.join(ev, "shingle").select("train_doc_id", "eval_doc_id").distinct()
+    inter = (
+        cands.join(tr, "train_doc_id")
+        .join(ev, ["eval_doc_id", "shingle"])
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = ev.groupBy("eval_doc_id").agg(F.count("*").alias("_sz"))
+    return (
+        inter.join(sizes, "eval_doc_id")
+        .withColumn("containment", F.round(F.col("n_common") / F.col("_sz"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("train_doc_id", "eval_doc_id", "n_common", "containment")
+    )

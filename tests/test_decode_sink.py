@@ -232,3 +232,26 @@ def test_unkeyed_produce_deterministic_across_layouts(spark, tmp_path):
     # and it actually balances
     n_parts = spark.read.parquet(pa_).select("partition").distinct().count()
     assert n_parts == 4
+
+
+def test_decode_dlq_split(spark):
+    """DLQ router: every input row lands in exactly one side; malformed
+    JSON and missing-required are distinguished; the good side carries
+    fully decoded CHANGE_EVENT columns."""
+    from kafka_plugins_spark.functions.decode import decode_transcript_events_with_dlq
+
+    rows = [
+        ('{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","op":"U"}', 0, 10),
+        ("{garbage", 0, 11),
+        ('{"role":"user"}', 1, 12),  # valid JSON, missing conv_id/turn_idx/op
+        ('{"conv_id":"c2","turn_idx":1,"role":"assistant","text":"y","op":"D"}', 1, 13),
+        ('{"conv_id":"c3","op":"U"}', 2, 14),  # missing turn_idx
+    ]
+    frame = spark.createDataFrame(rows, "value string, partition int, offset long")
+    good, dlq = decode_transcript_events_with_dlq(frame)
+    g = good.collect()
+    d = {r["offset"]: r["reason"] for r in dlq.collect()}
+    assert {r["conv_id"] for r in g} == {"c1", "c2"}
+    assert "_corrupt" not in good.columns
+    assert d == {11: "malformed_json", 12: "missing_required", 14: "missing_required"}
+    assert len(g) + len(d) == len(rows)

@@ -300,3 +300,24 @@ def test_dedup_clusters_chains_and_singletons(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(docs, pairs, max_iters=1)
+
+
+def test_contamination_containment_asymmetry(spark):
+    """A long train doc that fully embeds a short eval doc must be
+    flagged (containment ≈ 1) even though its Jaccard is low — the case
+    the asymmetric metric exists for; unrelated docs must not pair."""
+    from kafka_plugins_spark.operators.dedup import contamination_pairs
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"tok{i} filler{i*7%13} pad{i*3%11}" for i in range(40))
+    train = spark.createDataFrame(
+        [(100, filler + " " + eval_text + " " + filler),
+         (101, "completely unrelated content about databases and joins here")],
+        "doc_id: long, text: string",
+    )
+    evalset = spark.createDataFrame([(1, eval_text)], "doc_id: long, text: string")
+    got = contamination_pairs(train, evalset, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["train_doc_id"], r["eval_doc_id"]) == (100, 1)
+    assert r["containment"] == 1.0
