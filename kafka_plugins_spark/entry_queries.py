@@ -865,6 +865,18 @@ shingles AS (
 """
 )
 
+def q_bpe_pair_counts(spark, sf):
+    """First-round BPE statistics (Sennrich 2016): adjacent symbol-pair
+    counts over the corpus word-frequency model, '</w>' end markers,
+    each pair occurrence weighted by the word's frequency — the argmax
+    of this relation is BPE's first merge. The full iterative trainer
+    (:func:`operators.text.bpe_train`, JVM-fold merge application) is
+    golden-tested against a pure-Python reference in
+    tests/test_training_ops.py; this row hash-verifies its per-round
+    counting core against SQL."""
+    return tx.bpe_pair_counts(_t(spark, sf, "documents"))
+
+
 _STOP_EN_LIST = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
 
 
@@ -873,6 +885,18 @@ def _lang_list(lang: str) -> str:
 
 
 TEXT_ORACLES = {
+    # mirrors text.bpe_pair_counts: word-freq model, char symbols + </w>,
+    # adjacent pairs weighted by word frequency
+    "bpe_pair_counts": f"WITH {_WORDS_CTE}" + """,
+        we AS (SELECT unnest(w) AS word FROM words),
+        wf AS (SELECT word, count(*) AS freq FROM we GROUP BY word),
+        syms AS (SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+        pairs AS (
+            SELECT freq, s[t.i] AS lhs, s[t.i + 1] AS rhs
+            FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS t(i))
+        SELECT lhs, rhs, sum(freq)::BIGINT AS n
+        FROM pairs GROUP BY lhs, rhs
+    """,
     "doc_winnow": """
         WITH normd AS (
             SELECT doc_id,
@@ -1425,6 +1449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

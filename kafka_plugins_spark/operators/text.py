@@ -154,3 +154,105 @@ def winnowing_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus word-frequency model: (word, freq). The input every BPE-style
+    trainer actually consumes — O(distinct words), tiny versus the corpus."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _symbolize(word_col: Column) -> Column:
+    """word → initial BPE symbol sequence: characters with '</w>' appended."""
+    chars = F.filter(F.split(word_col, ""), lambda x: x != "")
+    return F.concat(chars, F.array(F.lit("</w>")))
+
+
+def _pair_counts(wf: DataFrame, sym_col: str = "syms") -> DataFrame:
+    """(lhs, rhs, n) adjacent symbol pairs, each occurrence
+    weighted by the word's corpus frequency."""
+    s = F.col(sym_col)
+    # zip(s[:-1], s[1:]) via slices — total on 0/1-symbol arrays, where a
+    # sequence(1, size-1) index array degenerates to [1, 0] and faults
+    n1 = F.greatest(F.size(s) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(s, 1, n1),
+        F.slice(s, 2, n1),
+        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """First-round BPE statistics over the corpus: adjacent character-
+    pair counts (with '</w>' end markers), weighted by word frequency —
+    the argmax of this relation is BPE's first merge. Two partial-
+    aggregated shuffles (word freq, then pair sum); everything JVM-side."""
+    wf = word_frequencies(docs, text_col=text_col, id_col=id_col)
+    return _pair_counts(wf.withColumn("syms", _symbolize(F.col("word"))))
+
+
+def _apply_merge(sym_col: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs —
+    a pure-JVM fold: no Python in the loop (aggregate over the symbol
+    array with an array accumulator)."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        # try_element_at: AND does not short-circuit under codegen, so a
+        # plain element_at(acc, -1) faults on the empty accumulator
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning (Sennrich et al. 2016, public algorithm)
+    expressed Spark-first: the corpus collapses to the word-frequency
+    relation once (O(distinct words) — the same reduction every real BPE
+    trainer does), then each round is one JVM-side pair-count aggregate,
+    one argmax collect of a single row, and one codegen'd fold applying
+    the merge to the symbol arrays. No Python row functions anywhere;
+    the per-round localCheckpoint keeps the plan flat across rounds.
+
+    Tie-break: highest count, then lexicographic (left, right) — fully
+    deterministic. Stops early if no pair occurs twice.
+    """
+    wf = (
+        word_frequencies(docs, text_col=text_col, id_col=id_col)
+        .withColumn("syms", _symbolize(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(wf)
+            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        left, right = top[0]["lhs"], top[0]["rhs"]
+        merges.append((left, right))
+        wf = wf.withColumn("syms", _apply_merge(F.col("syms"), left, right)).localCheckpoint(
+            eager=True
+        )
+    return merges

@@ -321,3 +321,79 @@ def test_contamination_containment_asymmetry(spark):
     r = got[0]
     assert (r["train_doc_id"], r["eval_doc_id"]) == (100, 1)
     assert r["containment"] == 1.0
+
+
+def _bpe_reference(word_freq: dict, n_merges: int):
+    """Pure-Python Sennrich-style BPE reference for the golden test."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]]))
+        # deterministic tie-break: max count, then lexicographic smallest
+        top_n = max(counts.values())
+        cands = sorted(k for k, v in counts.items() if v == top_n)
+        best = cands[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The Spark-first BPE trainer (JVM fold merges, pair-count argmax
+    per round) must learn the exact merge list of the textbook
+    pure-Python implementation on the same corpus."""
+    from collections import Counter
+
+    from kafka_plugins_spark.operators.text import bpe_train, tokens as tok
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "low lower lowest in the lowlands",
+        "new newer newest news",
+        "the the the lowly cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    wf = Counter(w for t in texts for w in t.lower().split())
+    want = _bpe_reference(dict(wf), 12)
+    got = bpe_train(docs, n_merges=12)
+    assert got == want, (got, want)
+
+
+def test_bpe_pair_counts_first_round(spark):
+    """First-round pair counts equal the reference's, including the
+    frequency weighting and </w> markers."""
+    from collections import Counter
+
+    from kafka_plugins_spark.operators.text import bpe_pair_counts
+
+    texts = ["aa ab", "aa aa b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {(r["lhs"], r["rhs"]): r["n"] for r in bpe_pair_counts(docs).collect()}
+    # words: aa×3, ab×1, b×1 → (a,a):3 (a,</w>):3 (a,b):1 (b,</w>):2
+    assert got == {("a", "a"): 3, ("a", "</w>"): 3, ("a", "b"): 1,
+                   ("b", "</w>"): 2}
