@@ -877,6 +877,16 @@ def q_bpe_pair_counts(spark, sf):
     return tx.bpe_pair_counts(_t(spark, sf, "documents"))
 
 
+def q_split_assign(spark, sf):
+    """Deterministic train/val/test assignment (90/5/5) by md5 bucket of
+    (salt | doc_id) — stable across runs/partitionings/engines, unlike
+    randomSplit. The oracle recomputes the same hash arithmetic, so a
+    hash match proves every row's assignment, not just the proportions."""
+    from kafka_plugins_spark.operators.sampling import split_assign
+
+    return split_assign(_t(spark, sf, "documents").select("doc_id"))
+
+
 _STOP_EN_LIST = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
 
 
@@ -885,6 +895,24 @@ def _lang_list(lang: str) -> str:
 
 
 TEXT_ORACLES = {
+    # mirrors sampling.split_assign: bucket = int(md5('v1|'||id)[:4], 16) % 100
+    "split_assign": f"""
+        WITH h AS (
+            SELECT doc_id, substr(md5('v1|' || doc_id::VARCHAR), 1, 4) AS hx
+            FROM documents),
+        v AS (
+            SELECT doc_id,
+                   (4096 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                    + 256 * (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                    + 16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+                    + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS b
+            FROM h)
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM v
+    """,
     # mirrors text.bpe_pair_counts: word-freq model, char symbols + </w>,
     # adjacent pairs weighted by word frequency
     "bpe_pair_counts": f"WITH {_WORDS_CTE}" + """,
@@ -1450,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "split_assign": q_split_assign,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

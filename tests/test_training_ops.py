@@ -397,3 +397,31 @@ def test_bpe_pair_counts_first_round(spark):
     # words: aa×3, ab×1, b×1 → (a,a):3 (a,</w>):3 (a,b):1 (b,</w>):2
     assert got == {("a", "a"): 3, ("a", "</w>"): 3, ("a", "b"): 1,
                    ("b", "</w>"): 2}
+
+
+def test_split_stability_and_sampling(spark):
+    """Splits are a partition of the ids, stable under repartitioning,
+    roughly proportioned, and disjoint from a different-salt sample's
+    correlation; bad percents raise."""
+    import pytest
+
+    from kafka_plugins_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs.repartition(13)).collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] - 1800) < 100 and abs(c["val"] - 100) < 50
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 10, salt="s1").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, 10, salt="s1").collect()}
+    assert s1 == s2 and abs(len(s1) - 200) < 60
+    with pytest.raises(ValueError):
+        split_assign(docs, train=70, val=40)
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 101)
