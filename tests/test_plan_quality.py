@@ -144,3 +144,32 @@ def test_mor_read_is_single_window_resolution(spark, events_path, tmp_path):
     assert "BatchEvalPython" not in plan
     table.compact()
     assert "Window" not in plan_of(table._read_full())
+
+
+def test_round4_operators_plan_shapes(spark):
+    """Round-4 operators stay on the scale path: no CartesianProduct, no
+    row-wise Python (BatchEvalPython) anywhere; split assignment is a
+    pure projection (zero exchanges); contamination/cluster joins are
+    equi-joins."""
+    from kafka_plugins_spark.operators.dedup import contamination_pairs
+    from kafka_plugins_spark.operators.sampling import split_assign
+    from kafka_plugins_spark.operators.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    split = split_assign(docs.select("doc_id"))
+    p = plan_of(split)
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+
+    contam = contamination_pairs(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        threshold=0.5,
+    )
+    p = plan_of(contam)
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(bpe_pair_counts(docs))
+    assert "BatchEvalPython" not in p
+    # pair counting is partial-aggregated before its one shuffle
+    assert p.index("HashAggregate") < p.index("Exchange")
