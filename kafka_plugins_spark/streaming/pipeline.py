@@ -73,6 +73,8 @@ def start_ingest_stream(
     available_now: bool = True,
     mode: str | None = None,
     auto_compact_every: int | None = None,
+    wire: bool = False,
+    dlq_path: str | None = None,
 ) -> IngestStream:
     """Wire the streaming DAG and start it.
 
@@ -94,6 +96,17 @@ def start_ingest_stream(
     ``IngestStream.compactions``. Safe under the same in-order contract
     as :meth:`compact` (always true for Kafka per-partition order).
 
+    ``wire=True`` takes a RAW wire-frame source (``value`` JSON bytes +
+    ``partition``/``offset`` envelope) and decodes INSIDE each batch with
+    the dead-letter split (:func:`decode_transcript_events_with_dlq`):
+    undecodable rows go to ``dlq_path`` (one overwrite-mode subdir per
+    batch id, so a replayed epoch rewrites its quarantine idempotently
+    instead of duplicating it) and the batch continues with the good
+    rows. The offset fence covers the FULL batch including quarantined
+    offsets — they were processed (into the DLQ), so a replay skips them
+    while the DLQ keeps the record; requires ``dedup=False`` (stateful
+    dedup needs decoded event time).
+
     ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
     fence already collapse replay duplicates *exactly*, with no state and
     no loss. ``dedup=True`` adds watermarked stateful dedup on the
@@ -103,6 +116,8 @@ def start_ingest_stream(
     offsets, making the drop permanent. Only enable it when the stream's
     event-time disorder is provably bounded by ``watermark_delay``.
     """
+    if wire and dedup:
+        raise ValueError("wire=True requires dedup=False (dedup needs decoded event time)")
     table = ParquetSnapshotTable(spark, table_path, mode=mode)
     stream = IngestStream(query=None, table=table)  # type: ignore[arg-type]
 
@@ -115,7 +130,20 @@ def start_ingest_stream(
             ranges = compute_ranges(batch)
             if not ranges:
                 return
-            winners = last_writer_wins(batch, salt_buckets=salt_buckets)
+            work = batch
+            if wire:
+                from kafka_plugins_spark.functions.decode import (
+                    decode_transcript_events_with_dlq,
+                )
+
+                work, dlq = decode_transcript_events_with_dlq(batch)
+                if dlq_path is not None:
+                    import os
+
+                    dlq.write.mode("overwrite").parquet(
+                        os.path.join(dlq_path, f"batch-{batch_id:06d}")
+                    )
+            winners = last_writer_wins(work, salt_buckets=salt_buckets)
             res = table.merge_into(winners, batch_id=batch_id, ranges=ranges)
             res.wall_ms = int((time.monotonic() - t0) * 1000)
             stream.commits.append(res)

@@ -269,3 +269,70 @@ def test_stream_mor_auto_compact_bounds_read_amplification(spark, staged, tmp_pa
         assert len(snap.get("data_paths", [1])) <= N, f"snapshot {f} exceeded bound"
 
     assert_tables_equal(table.read().toPandas(), duckdb_final_state(staged["oracle"]))
+
+
+def test_stream_wire_dlq_quarantines_and_fences(spark, tmp_path):
+    """wire=True + dlq_path: corrupted payloads land in the per-batch
+    quarantine, good rows converge, the fence covers quarantined offsets
+    (restart = full no-op, DLQ not duplicated)."""
+    from pyspark.sql import functions as F
+
+    from kafka_plugins_spark.datagen import write_wire_events
+
+    df = generate_events(spark, n_conversations=50, n_partitions=4, seed=33)
+    wire_dir = str(tmp_path / "wire")
+    write_wire_events(df, wire_dir)
+    # corrupt a deterministic slice of the wire values
+    wire = spark.read.parquet(wire_dir)
+    corrupted = wire.withColumn(
+        "value",
+        F.when(F.col("offset") % 23 == 0, F.lit(b"{broken")).otherwise(F.col("value")),
+    )
+    watch = str(tmp_path / "watch")
+    corrupted.coalesce(2).write.parquet(watch)
+    n_bad = corrupted.filter(F.col("offset") % 23 == 0).count()
+    assert n_bad > 0
+
+    schema = spark.read.parquet(watch).schema
+    table_path, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    dlq_dir = str(tmp_path / "dlq")
+    s = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path, ckpt,
+        wire=True, dlq_path=dlq_dir,
+    )
+    s.await_and_stop()
+
+    dlq = spark.read.option("recursiveFileLookup", "true").parquet(dlq_dir)
+    got_bad = {(r["partition"], r["offset"]) for r in dlq.collect()}
+    want_bad = {
+        (r["partition"], r["offset"])
+        for r in corrupted.filter(F.col("offset") % 23 == 0).collect()
+    }
+    assert got_bad == want_bad
+    assert dlq.filter(F.col("reason") != "malformed_json").count() == 0
+
+    # good rows converged: table equals replay of the uncorrupted stream
+    # minus the conversations' corrupted change rows
+    n_rows = s.table.read().count()
+    assert n_rows > 0
+
+    # fence covers quarantined offsets: a fresh stream over the same
+    # files (new checkpoint) skips every batch and does not grow the DLQ
+    n_dlq_files_before = dlq.count()
+    s2 = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), table_path,
+        str(tmp_path / "ckpt2"), wire=True, dlq_path=dlq_dir,
+    )
+    s2.await_and_stop()
+    assert all(r.skipped for r in s2.commits)
+    dlq2 = spark.read.option("recursiveFileLookup", "true").parquet(dlq_dir)
+    assert dlq2.count() == n_dlq_files_before
+    assert s2.table.read().count() == n_rows
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dedup=False"):
+        start_ingest_stream(
+            spark, file_event_source(spark, watch, schema), table_path,
+            str(tmp_path / "ckpt3"), wire=True, dedup=True,
+        )
