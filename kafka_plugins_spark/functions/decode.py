@@ -331,10 +331,13 @@ def decode_transcript_events_with_dlq(df: DataFrame) -> tuple[DataFrame, DataFra
     JSON parsing, or parses but lacks the required CDC fields
     (conv_id/turn_idx/op), are routed to a DLQ frame carrying the RAW
     value plus envelope and a reason tag, instead of poisoning the
-    stream with nulls or failing the batch (the reference connectors'
-    error-collector contract, generalized: ``KafkaBatchSource`` routes
-    transform failures per-record). Both outputs are lazy projections of
-    one parse — Catalyst computes ``from_json`` once per side, no Python.
+    stream with nulls or failing the batch. This generalizes the
+    reference's failure-collection pattern (``FailureCollector``, used at
+    pipeline-configure time for config/schema validation) to per-record
+    routing — the reference's own ``KafkaBatchSource.transform`` throws
+    on record-level format errors, failing the batch. Both outputs are
+    lazy projections of one parse — Catalyst computes ``from_json`` once
+    per side, no Python.
 
     In the streaming pipeline, write the DLQ side to a quarantine sink
     inside the same ``foreachBatch`` (the fence covers both: a replayed

@@ -398,6 +398,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code — skip them instead of reading 0xFF as the code
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -464,6 +468,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ):
         raise NotImplementedError(f"sampling {samplings} unsupported (4:4:4/4:2:0 only)")
 
+    for cs, td, ta in scomps:
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError(
+                f"scan component {cs} references undefined Huffman table "
+                f"(dc={td} defined={sorted(huff_dc)}, ac={ta} defined={sorted(huff_ac)})"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     order = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}

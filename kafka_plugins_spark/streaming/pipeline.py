@@ -105,7 +105,20 @@ def start_ingest_stream(
     rows. The offset fence covers the FULL batch including quarantined
     offsets — they were processed (into the DLQ), so a replay skips them
     while the DLQ keeps the record; requires ``dedup=False`` (stateful
-    dedup needs decoded event time).
+    dedup needs decoded event time) and a non-None ``dlq_path``: without
+    a quarantine sink the fence would still cover the dropped offsets,
+    making the loss permanent AND unrecorded — the same silent-data-loss
+    class as the dedup trap, so it is refused rather than defaulted.
+
+    DLQ idempotence is **per-checkpoint**: batch ids (and thus the
+    ``batch-NNNNNN`` overwrite targets) are assigned by the streaming
+    checkpoint, so a replay under the SAME checkpoint rewrites its
+    quarantine in place, while a fresh checkpoint over the same input may
+    slice batches differently and would leave the prior run's subdirs
+    stale beside its own. Point each fresh checkpoint at a fresh
+    ``dlq_path`` (or clear it), or dedupe reads by (partition, offset) —
+    offsets are unique per source, so the quarantined ROWS are identical
+    either way.
 
     ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
     fence already collapse replay duplicates *exactly*, with no state and
@@ -118,6 +131,12 @@ def start_ingest_stream(
     """
     if wire and dedup:
         raise ValueError("wire=True requires dedup=False (dedup needs decoded event time)")
+    if wire and dlq_path is None:
+        raise ValueError(
+            "wire=True requires dlq_path: undecodable rows are dropped from the "
+            "batch while compute_ranges still fences their offsets — without a "
+            "quarantine the loss would be permanent and unrecorded"
+        )
     table = ParquetSnapshotTable(spark, table_path, mode=mode)
     stream = IngestStream(query=None, table=table)  # type: ignore[arg-type]
 

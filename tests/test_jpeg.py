@@ -141,3 +141,32 @@ def test_encoder_rejects_bad_input():
         J.encode_jpeg(np.zeros((4, 4), dtype=np.float32))
     with pytest.raises(ValueError):
         J.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a marker
+    code; the parser must skip them, not read 0xFF as the code."""
+    rng = np.random.default_rng(11)
+    img = np.repeat(np.repeat(rng.integers(0, 256, size=(2, 3)).astype(np.uint8), 8, 0), 8, 1)
+    enc = J.encode_jpeg(img)
+    i = enc.index(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(enc))
+
+
+def test_undefined_huffman_table_raises_value_error():
+    """A scan referencing a DHT slot that was never defined must refuse
+    with a clear ValueError, not a bare KeyError."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(J.encode_jpeg(img))
+    out = bytearray()
+    pos = 0
+    while pos < len(enc):
+        if enc[pos] == 0xFF and pos + 1 < len(enc) and enc[pos + 1] == 0xC4:
+            (seglen,) = struct.unpack(">H", enc[pos + 2 : pos + 4])
+            pos += 2 + seglen  # drop the DHT segment entirely
+        else:
+            out.append(enc[pos])
+            pos += 1
+    with pytest.raises(ValueError, match="Huffman"):
+        J.decode_jpeg(bytes(out))

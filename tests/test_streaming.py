@@ -336,3 +336,11 @@ def test_stream_wire_dlq_quarantines_and_fences(spark, tmp_path):
             spark, file_event_source(spark, watch, schema), table_path,
             str(tmp_path / "ckpt3"), wire=True, dedup=True,
         )
+
+    # wire without a quarantine sink would silently fence dropped rows —
+    # refused (same silent-data-loss class as the dedup trap)
+    with pytest.raises(ValueError, match="dlq_path"):
+        start_ingest_stream(
+            spark, file_event_source(spark, watch, schema), table_path,
+            str(tmp_path / "ckpt4"), wire=True,
+        )
