@@ -92,6 +92,42 @@ def _delivered_filter_expr(delivered: dict[int, list[tuple[int, int]]]):
     return expr
 
 
+# Above this many delivered intervals the inline OR-chain predicate is
+# replaced by a broadcast range-table anti-join: intervals merge on
+# commit, so in-order streams keep ~1 interval per partition, but a
+# pathologically fragmented out-of-order backfill (thousands of disjoint
+# ranges) would otherwise bloat the plan/codegen linearly.
+DELIVERED_FILTER_MAX_INTERVALS = 64
+
+
+def _drop_delivered(df: DataFrame, delivered: dict[int, list[tuple[int, int]]]) -> DataFrame:
+    """Rows of ``df`` NOT inside any delivered interval.
+
+    Small interval sets (the steady state) inline as one codegen'd
+    predicate — zero extra operators. Fragmented sets fall back to a
+    broadcast LEFT ANTI join against the O(intervals) range table, so
+    plan size and codegen stay bounded no matter how shredded the
+    delivered history is; the build side is driver-local metadata (the
+    same rows the snapshot already holds), far under any broadcast limit.
+    """
+    n = sum(len(iv) for iv in delivered.values())
+    if n == 0:
+        return df
+    if n <= DELIVERED_FILTER_MAX_INTERVALS:
+        drop = _delivered_filter_expr(delivered)
+        return df.filter(~drop) if drop is not None else df
+    ivdf = df.sparkSession.createDataFrame(
+        [(p, s, e) for p, iv in delivered.items() for s, e in iv],
+        "_iv_p int, _iv_lo long, _iv_hi long",
+    )
+    cond = (
+        (F.col("partition") == F.col("_iv_p"))
+        & (F.col("offset") >= F.col("_iv_lo"))
+        & (F.col("offset") < F.col("_iv_hi"))
+    )
+    return df.join(F.broadcast(ivdf), cond, "left_anti")
+
+
 def _append_lineage_file(lineage_dir: str, rows: list[tuple]) -> None:
     """Append one parquet file of lineage rows, driver-side."""
     import pyarrow as pa
@@ -333,9 +369,7 @@ class ParquetSnapshotTable:
 
         fresh = winners
         if needs_filter:
-            drop = _delivered_filter_expr(delivered)
-            if drop is not None:
-                fresh = winners.filter(~drop)
+            fresh = _drop_delivered(winners, delivered)
         snap_before = self.current_snapshot()
         # Initial load with known ranges — and EVERY MoR commit — runs
         # SINGLE-PASS over the input: the winner set is computed exactly
@@ -943,9 +977,7 @@ class IcebergMergeBackend:
         if decision.skip:
             return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
         if decision.needs_filter:
-            drop = _delivered_filter_expr(delivered)
-            if drop is not None:
-                winners = winners.filter(~drop)
+            winners = _drop_delivered(winners, delivered)
         view = f"_cdc_updates_{batch_id}"
         winners.createOrReplaceTempView(view)
         payload = [c for c in winners.columns if c not in ("op", "partition", "offset")]

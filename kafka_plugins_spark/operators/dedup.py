@@ -251,7 +251,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 40,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every doc
     gets ``cluster_id`` = the MIN doc id of its component (singletons
@@ -260,19 +260,21 @@ def dedup_clusters(
     actionable dedup policy — keep the canonical doc per cluster, drop
     the rest.
 
-    Algorithm: iterative min-label propagation — each round every doc
-    takes the min of its own label and its neighbors' labels (one
-    equi-join + groupBy-min per round, both partition-parallel), until a
-    round changes nothing. Rounds needed = graph diameter, and near-dup
-    components are small/dense (dups of one source), so this converges
-    in a few rounds; labels are eagerly localCheckpoint'ed each round so
-    the plan does not grow with iterations. For adversarial long-chain
-    graphs at 100 TB, the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce", SOCC'14) bounds rounds by
-    O(log n) with the same join/agg primitives — this propagation loop
-    is the honest default for the dedup workload, not a general CC
-    solver. Raises after ``max_iters`` non-converged rounds rather than
-    returning partial labels.
+    Algorithm: min-label propagation WITH pointer doubling — each round
+    every doc takes the min of (a) its own label, (b) its neighbors'
+    labels (one equi-join + groupBy-min), and (c) its *label's* label
+    (one labels⋈labels self-join — the shortcutting step of classic
+    pointer-jumping / Shiloach–Vishkin). Neighbor propagation alone
+    needs rounds = graph diameter; the shortcut at least doubles the
+    reachable distance per round, so convergence is O(log diameter) —
+    a 1000-node chain labels in ~10 rounds (tested), and log₂ of any
+    realistic corpus diameter sits far under the default ``max_iters``
+    of 40. The extra self-join costs one more shuffle per round; both
+    joins/aggs are partition-parallel and labels are eagerly
+    localCheckpoint'ed each round so the plan does not grow with
+    iterations. Terminates when a round changes nothing; raises after
+    ``max_iters`` non-converged rounds rather than returning partial
+    labels (rounds needed ≈ log₂(component diameter) + 2).
     """
     sym = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
@@ -288,10 +290,29 @@ def dedup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = labels.join(prop, labels["id"] == prop["dst"], "left").select(
-            labels["id"],
-            F.least(labels["label"], F.coalesce(prop["nlabel"], labels["label"])).alias("label"),
-            (F.coalesce(prop["nlabel"], labels["label"]) < labels["label"]).alias("_chg"),
+        # pointer doubling: every label value is itself a doc id (labels
+        # only ever take existing ids), so label→label-of-label is a
+        # complete inner self-join
+        grand = (
+            labels.alias("l")
+            .join(labels.alias("m"), F.col("l.label") == F.col("m.id"))
+            .select(F.col("l.id").alias("gid"), F.col("m.label").alias("glabel"))
+        )
+        stepped = (
+            labels.join(prop, labels["id"] == prop["dst"], "left")
+            .join(grand, labels["id"] == grand["gid"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(prop["nlabel"], labels["label"]),
+                    F.coalesce(grand["glabel"], labels["label"]),
+                ).alias("label"),
+                (
+                    (F.coalesce(prop["nlabel"], labels["label"]) < labels["label"])
+                    | (F.coalesce(grand["glabel"], labels["label"]) < labels["label"])
+                ).alias("_chg"),
+            )
         )
         stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("_chg")).count()

@@ -211,3 +211,41 @@ def test_rollback_empty_table_raises(spark, tmp_path):
     t = ParquetSnapshotTable(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError):
         t.rollback_to(1)
+
+
+def test_drop_delivered_fragmented_interval_set_bounded_plan(spark):
+    """VERDICT r4 item 6: a pathologically fragmented delivered set (10k
+    disjoint intervals) must not inline a 10k-term OR-chain — the filter
+    falls back to a broadcast range-table anti-join, and the result is
+    identical to interval semantics (rows inside any interval dropped)."""
+    from pyspark.sql import functions as F
+
+    from kafka_plugins_spark.lake import (
+        DELIVERED_FILTER_MAX_INTERVALS,
+        _drop_delivered,
+    )
+
+    n_iv = 10_000
+    events = spark.range(4 * n_iv).select(
+        (F.col("id") % 2).cast("int").alias("partition"),
+        (F.col("id") / 2).cast("long").alias("offset"),
+    )
+    # even offsets delivered, odd not — n_iv single-offset intervals per partition
+    delivered = {p: [(2 * i, 2 * i + 1) for i in range(n_iv // 2)] for p in (0, 1)}
+    out = _drop_delivered(events, delivered)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan or "left_anti" in plan
+    assert len(plan) < 50_000, "plan should be bounded, not an inlined OR-chain"
+    got = out.groupBy("partition").agg(
+        F.count("*").alias("n"), F.sum(F.col("offset") % 2).alias("n_odd")
+    ).collect()
+    for r in got:
+        assert r["n"] == n_iv // 2 + n_iv  # odd offsets inside range + all offsets >= n_iv
+        assert r["n_odd"] >= n_iv // 2
+
+    # the steady state (few merged intervals) stays an inline predicate
+    small = _drop_delivered(events, {0: [(0, 10)], 1: [(0, 5)]})
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in small_plan
+    assert small.count() == 4 * n_iv - 15
+    assert sum(len(v) for v in delivered.values()) > DELIVERED_FILTER_MAX_INTERVALS

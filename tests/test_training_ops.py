@@ -302,6 +302,32 @@ def test_dedup_clusters_chains_and_singletons(spark):
         dedup_clusters(docs, pairs, max_iters=1)
 
 
+def test_dedup_clusters_long_path_graph_pointer_doubling(spark):
+    """Adversarial chain graph (VERDICT r4 item 5): a 1000-node path has
+    diameter 999, so plain min-label propagation would need ~999 rounds.
+    Pointer doubling must label it in O(log n) rounds — max_iters=15
+    (≫ log₂ 1000 ≈ 10, ≪ 999) both proves the shortcutting works and
+    would fail loudly if it regressed to linear propagation."""
+    from kafka_plugins_spark.operators.dedup import dedup_clusters
+
+    n = 1000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (
+        spark.range(n - 1)
+        .selectExpr("id as doc_a", "id + 1 as doc_b")
+    )
+    out = dedup_clusters(docs, pairs, max_iters=15)
+    from pyspark.sql import functions as F
+
+    agg = out.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.max("cluster_id").alias("max_label"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["n"] == n
+    assert agg["n_clusters"] == 1 and agg["max_label"] == 0
+
+
 def test_contamination_containment_asymmetry(spark):
     """A long train doc that fully embeds a short eval doc must be
     flagged (containment ≈ 1) even though its Jaccard is low — the case
