@@ -110,12 +110,14 @@ def _run_replay(spark, events_path: str, table_path: str, warmup: bool = True) -
                 f"{w}/ev",
             )
             replay(spark, f"{w}/ev", f"{w}/t", wire=True)
+    cores = spark.sparkContext.defaultParallelism
     c0, t0 = _jvm_cpu_sec(), time.monotonic()
-    table, results = replay(spark, events_path, table_path, wire=True)
+    with _InRunMonitor(cores) as mon:
+        table, results = replay(spark, events_path, table_path, wire=True)
     wall = time.monotonic() - t0
     cpu = _jvm_cpu_sec() - c0
     rows = sum(r.rows_applied for r in results)
-    return {
+    out = {
         "n_events": n_events,
         "rows_applied": rows,
         "replay_sec": round(wall, 2),
@@ -123,6 +125,8 @@ def _run_replay(spark, events_path: str, table_path: str, warmup: bool = True) -
         "jvm_cpu_sec": round(cpu, 1),
         "events_per_cpu_sec": round(n_events / cpu, 1) if cpu > 0 else None,
     }
+    out.update(mon.summary())
+    return out
 
 
 def replay_only(cores: int, events_path: str) -> None:
@@ -153,12 +157,19 @@ def full_bench(sf_dir: str, cores: int) -> dict:
         # moment (VERDICT r3 item 1: round-over-round headline deltas are
         # otherwise unattributable between engine and host).
         ctrl_width = min(cores, os.cpu_count() or cores)
-        reps, spent = [], 0.0
-        for i in range(3):
+        # Healthy-window gate (VERDICT r4 item 4): a rep whose pre-run
+        # control is under ~70% of a healthy host's per-core md5 rate
+        # (~1.4M/core on this box) measures the hypervisor, not the
+        # engine — retry it (bounded attempts) and flag the recorded
+        # headline if no healthy window appeared at all.
+        healthy_md5 = 1.0e6 * ctrl_width
+        reps, spent, healthy_reps = [], 0.0, 0
+        for i in range(6):
             ctrl = _cpu_control(ctrl_width)
             s0 = _steal_sec()
             r = _run_replay(spark, ev, f"{work}/table{i}", warmup=(i == 0))
             r["control_md5_per_sec"] = round(ctrl)
+            r["control_healthy"] = ctrl >= healthy_md5
             r["steal_cpu_sec"] = round(_steal_sec() - s0, 1)
             # throughput normalized by host capability that moment —
             # comparable ACROSS rounds even when the host throttles
@@ -166,10 +177,15 @@ def full_bench(sf_dir: str, cores: int) -> dict:
                 r["events_per_sec"] / (ctrl / 1e6), 1
             )
             reps.append(r)
+            healthy_reps += int(r["control_healthy"])
             spent += r["replay_sec"]
-            if spent > 180:
+            if healthy_reps >= 3 or spent > 180:
                 break
         rep = max(reps, key=lambda r: r["events_per_sec"])
+        rep["degraded_host"] = not any(
+            r["control_healthy"] for r in reps
+        )  # True ⇒ no healthy window: compare this headline across rounds
+        #    via events_per_million_md5, not raw events_per_sec
         rep["all_runs_events_per_sec"] = [r["events_per_sec"] for r in reps]
         rep["all_runs_control_md5_per_sec"] = [r["control_md5_per_sec"] for r in reps]
         rep["all_runs_steal_cpu_sec"] = [r["steal_cpu_sec"] for r in reps]
@@ -201,6 +217,22 @@ def full_bench(sf_dir: str, cores: int) -> dict:
         qtimes[name] = min(runs)
     out["queries"] = qtimes
     out["queries_all_runs"] = qruns
+
+    # candidate count riding the emb_neardup_ivf row (VERDICT r4 item 1):
+    # the cost driver of that operator, published so wall-time shifts are
+    # attributable to candidate volume vs host weather
+    from pyspark.sql import Observation
+
+    from kafka_plugins_spark.entry_queries import _trained_codebook
+    from kafka_plugins_spark.operators import similarity as sim
+
+    obs = Observation("bench_ivf_candidates")
+    sim.embedding_neardup_pairs_ivf(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.45, dim=64, n_cells=8, nprobe=4,
+        centroids=_trained_codebook(spark, sf_dir), candidate_obs=obs,
+    ).write.format("noop").mode("overwrite").save()
+    out["emb_neardup_ivf_candidates"] = obs.get["n_candidates"]
     return out
 
 
@@ -250,6 +282,118 @@ def stretch(sf_dir: str, cores: int, multiplier: int = 10) -> dict:
 def _steal_sec() -> float:
     with open("/proc/stat") as fh:
         return int(fh.readline().split()[8]) / 100.0
+
+
+def _pinned_busy_jiffies(cores: int) -> int:
+    """Sum of non-idle jiffies across cpu0..cpu{cores-1} (the set taskset
+    pins replays to). Direct 'was the host stalling THIS second' signal."""
+    total = 0
+    with open("/proc/stat") as fh:
+        for ln in fh:
+            if ln.startswith("cpu") and len(ln) > 3 and ln[3].isdigit():
+                parts = ln.split()
+                if int(parts[0][3:]) < cores:
+                    vals = [int(x) for x in parts[1:]]
+                    total += sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+    return total
+
+
+def _monitor_loop(out_path: str, cores: int, md5_core: int | None, stop_ev) -> None:
+    import hashlib
+
+    with open(out_path, "w") as fh:
+        while not stop_ev.is_set():
+            b0, s0, t0 = _pinned_busy_jiffies(cores), _steal_sec(), time.monotonic()
+            rate = None
+            if md5_core is not None:
+                try:
+                    os.sched_setaffinity(0, {md5_core})
+                    n, h = 0, b"x" * 64
+                    t_end = time.monotonic() + 0.3
+                    while time.monotonic() < t_end:
+                        for _ in range(2000):
+                            h = hashlib.md5(h).digest()
+                        n += 2000
+                    rate = n / 0.3
+                except OSError:
+                    pass
+            stop_ev.wait(0.7)
+            dt = time.monotonic() - t0
+            busy = (_pinned_busy_jiffies(cores) - b0) / (dt * 100.0 * cores)
+            fh.write(
+                json.dumps(
+                    {
+                        "md5_per_sec": round(rate) if rate else None,
+                        "busy_frac": round(busy, 3),
+                        "steal_cpu_sec": round(_steal_sec() - s0, 2),
+                    }
+                )
+                + "\n"
+            )
+            fh.flush()
+
+
+class _InRunMonitor:
+    """Samples host health DURING a replay (VERDICT r4 item 3): ~1 Hz
+    md5-burn rate on one core OUTSIDE the replay's pinned set (skipped
+    when the replay owns every core — /proc/stat still samples), the
+    busy fraction of the pinned set, and global steal. The 2 s pre-run
+    control only sees the moments before a run; this sees the stall
+    windows inside it, so sub-0.8 scaling rounds can be attributed to an
+    in-run signal instead of an absence."""
+
+    def __init__(self, cores: int):
+        import multiprocessing as mp
+
+        self.cores = cores
+        ncpu = os.cpu_count() or cores
+        self.md5_core = cores if cores < ncpu else None
+        self.path = tempfile.mktemp(prefix="inrun_monitor_")
+        self.ev = mp.Event()
+        self.proc = mp.Process(
+            target=_monitor_loop, args=(self.path, cores, self.md5_core, self.ev)
+        )
+
+    def __enter__(self):
+        self.proc.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.ev.set()
+        self.proc.join(5)
+        if self.proc.is_alive():
+            self.proc.terminate()
+
+    def summary(self) -> dict:
+        rows = []
+        try:
+            with open(self.path) as fh:
+                rows = [json.loads(ln) for ln in fh if ln.strip()]
+        except OSError:
+            pass
+        finally:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+        md5 = [r["md5_per_sec"] for r in rows if r.get("md5_per_sec")]
+        busy = [r["busy_frac"] for r in rows if r.get("busy_frac") is not None]
+        out: dict = {"inrun_samples": len(rows)}
+        if md5:
+            med = sorted(md5)[len(md5) // 2]
+            out.update(
+                inrun_md5_median=round(med),
+                inrun_md5_min=round(min(md5)),
+                # seconds the host delivered <50% of its own median —
+                # the mid-run stall time the pre-run control cannot see
+                inrun_stall_sec=round(sum(1.0 for x in md5 if x < 0.5 * med), 1),
+            )
+        if busy:
+            out.update(
+                inrun_busy_mean=round(sum(busy) / len(busy), 3),
+                inrun_busy_min=round(min(busy), 3),
+            )
+        return out
 
 
 def _cpu_control(nproc: int, dur: float = 2.0) -> float:
@@ -416,6 +560,17 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
             ),
             "mean_lo_busy": _mean([_busy(h["runs"][0]) for h in rows]),
             "mean_hi_busy": _mean([_busy(h["runs"][1]) for h in rows]),
+            # in-run monitor (sampled DURING each replay — rounds recorded
+            # before the monitor existed contribute None and are skipped)
+            "mean_hi_inrun_md5_median": _mean(
+                [h["runs"][1].get("inrun_md5_median") for h in rows]
+            ),
+            "mean_hi_inrun_stall_sec": _mean(
+                [h["runs"][1].get("inrun_stall_sec") for h in rows]
+            ),
+            "mean_hi_inrun_busy_min": _mean(
+                [h["runs"][1].get("inrun_busy_min") for h in rows]
+            ),
         }
 
     host_corr = {"sub_0.8": _host_stats(sub), "geq_0.8": _host_stats(geq)}
@@ -480,8 +635,8 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
             "with the mean host-health signals of each group (a sub-0.8\n"
             "group that is also control-degraded/steal-heavy points at the\n"
             "host, not the engine):\n\n"
-            "| group | rounds | mean control eff | mean md5 control/s (hi) | mean steal cpu-s | mean busy lo | mean busy hi |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| group | rounds | mean control eff | mean md5 control/s (hi) | mean steal cpu-s | mean busy lo | mean busy hi | in-run md5 med (hi) | in-run stall s (hi) | in-run busy min (hi) |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
             + "\n".join(
                 f"| {name} | {st['rounds']} | {st['mean_control_eff']} | "
                 + (
@@ -489,15 +644,26 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
                     if st["mean_hi_control_md5_per_sec"]
                     else "-"
                 )
-                + f" | {st['mean_steal_cpu_sec']} | {st['mean_lo_busy']} | {st['mean_hi_busy']} |"
+                + f" | {st['mean_steal_cpu_sec']} | {st['mean_lo_busy']} | {st['mean_hi_busy']} | "
+                + (
+                    f"{round(st['mean_hi_inrun_md5_median'] / 1e6, 2)}M"
+                    if st.get("mean_hi_inrun_md5_median")
+                    else "-"
+                )
+                + f" | {st.get('mean_hi_inrun_stall_sec') if st.get('mean_hi_inrun_stall_sec') is not None else '-'}"
+                + f" | {st.get('mean_hi_inrun_busy_min') if st.get('mean_hi_inrun_busy_min') is not None else '-'} |"
                 for name, st in host_corr.items()
             )
             + "\n\n"
             "'busy' = jvm_cpu_sec / (replay_sec × pinned cores): the share of\n"
             "its pinned cores the JVM actually burned during THAT replay — a\n"
             "hi-side busy drop in the sub-0.8 group means the host stalled the\n"
-            "wide run itself (the 2 s md5 control only samples the moments\n"
-            "before each run, so it can miss mid-run stall windows).\n"
+            "wide run itself. The in-run columns come from a 1 Hz monitor\n"
+            "sampling DURING each replay (md5 burn on a spare core + pinned-set\n"
+            "/proc/stat): 'stall s' counts seconds the host delivered <50% of\n"
+            "that run's own median md5 rate — the mid-run windows the 2 s\n"
+            "pre-run control cannot see. Rounds recorded before the monitor\n"
+            "existed contribute no in-run samples and are skipped in the means.\n"
         )
     return report
 

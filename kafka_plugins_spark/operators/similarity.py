@@ -471,6 +471,7 @@ def embedding_neardup_pairs_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    candidate_obs=None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold — IVF-blocked,
     APPROXIMATE (recall < 1 by construction, dialable via ``nprobe``).
@@ -487,6 +488,13 @@ def embedding_neardup_pairs_ivf(
     candidate join is a plain equi-join touching each cell's files only,
     and a trained (k-means) codebook replaces the deterministic one
     (pass ``centroids`` from :func:`train_ivf_centroids`).
+
+    ``candidate_obs``: optional ``pyspark.sql.Observation`` recording
+    ``n_candidates`` (the verify-join's input size) on the run itself —
+    the cost driver of this operator: a trained codebook balances cells,
+    and balanced cells can admit MORE pairs than lopsided ones at the
+    same nprobe, trading verify cost for recall. Observe it to attribute
+    wall-time shifts to candidate volume vs host weather.
     """
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     ranking = ivf_cell_ranking(vec_col, cents)
@@ -503,6 +511,8 @@ def embedding_neardup_pairs_ivf(
         )
         .distinct()
     )
+    if candidate_obs is not None:
+        cands = cands.observe(candidate_obs, F.count(F.lit(1)).alias("n_candidates"))
     return _verify_cosine(cands, emb, threshold, vec_col, id_col)
 
 
