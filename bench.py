@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "sessionize",
     "doc_quality",
+    "bpe_encode",
+    "pii_scrub",
     "dedup_minhash_lsh",
     "ann_topk",
     "knn_label_vote",

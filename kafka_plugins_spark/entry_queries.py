@@ -877,6 +877,146 @@ def q_bpe_pair_counts(spark, sf):
     return tx.bpe_pair_counts(_t(spark, sf, "documents"))
 
 
+BPE_N_MERGES = 10
+_BPE_MERGES: dict = {}
+
+
+def _bpe_merges(spark, sf, n_merges=BPE_N_MERGES):
+    """Train (or reuse) the BPE merge list for this sf's documents —
+    cached per (sf, n_merges) like the IVF codebook: one training run
+    per process, applied corpus-wide, the production tokenizer shape."""
+    key = (sf, n_merges)
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = tx.bpe_train(_t(spark, sf, "documents"), n_merges=n_merges)
+    return _BPE_MERGES[key]
+
+
+def q_bpe_encode(spark, sf):
+    """Corpus-scale BPE APPLY under the trained vocab (the round-4
+    trainer's missing half): per document, word count, token count and
+    an md5 of the full ordered token sequence. Merges are learned by
+    :func:`operators.text.bpe_train` (golden-tested vs the pure-Python
+    Sennrich reference); the DuckDB oracle RE-LEARNS the identical merge
+    list in SQL (unrolled rounds — integer pair counts and the same
+    tie-break make it exact) and re-applies it via string REPLACE over a
+    space-delimited symbol encoding, so the hash verifies both the
+    learned vocabulary and every document's token sequence."""
+    merges = _bpe_merges(spark, sf)
+    enc = tx.bpe_encode(_t(spark, sf, "documents"), merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled-SQL BPE: learn ``n_merges`` merges over the word-freq
+    relation, then tokenize every document — same construction as the
+    k-means-in-SQL IVF oracle. Symbol sequences are encoded as strings
+    with every symbol wrapped in single spaces (' a  b  c</w> '), which
+    makes one greedy left-to-right merge pass exactly one REPLACE of
+    ' l  r ' with ' lr ' (non-overlapping left-to-right — the Sennrich
+    apply semantics; symbols never contain spaces so boundaries are
+    unambiguous). Rounds whose best pair occurs <2 times no-op (NULL
+    pattern), matching the Spark trainer's early stop."""
+    parts = [
+        """we AS (SELECT unnest(w) AS word FROM words),
+        wf0 AS (
+            SELECT word, count(*) AS freq,
+                   ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), '  ') || ' ' AS seq
+            FROM we GROUP BY word)"""
+    ]
+    for t in range(n_merges):
+        parts.append(f"""pc{t} AS (
+            SELECT q.s[t.i] AS lhs, q.s[t.i + 1] AS rhs, sum(q.freq)::BIGINT AS n
+            FROM (SELECT freq, string_split(substr(seq, 2, length(seq) - 2), '  ') AS s
+                  FROM wf{t}) q,
+                 UNNEST(generate_series(1, len(q.s) - 1)) AS t(i)
+            GROUP BY lhs, rhs)""")
+        parts.append(f"""best{t} AS (
+            SELECT CASE WHEN n >= 2 THEN ' ' || lhs || '  ' || rhs || ' ' END AS pat,
+                   CASE WHEN n >= 2 THEN ' ' || lhs || rhs || ' ' END AS rep
+            FROM pc{t} ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        parts.append(f"""wf{t + 1} AS (
+            SELECT word, freq,
+                   CASE WHEN b.pat IS NULL THEN seq ELSE replace(seq, b.pat, b.rep) END AS seq
+            FROM wf{t} LEFT JOIN best{t} b ON TRUE)""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {_WORDS_CTE}, {ctes},
+        vocab AS (
+            SELECT word,
+                   replace(substr(seq, 2, length(seq) - 2), '  ', ' ') AS tokstr,
+                   len(string_split(substr(seq, 2, length(seq) - 2), '  '))::BIGINT AS n_toks
+            FROM wf{n_merges}),
+        docw AS (
+            SELECT doc_id, t.i AS pos, w[t.i] AS word
+            FROM words, UNNEST(generate_series(1, len(w))) AS t(i))
+        SELECT d.doc_id,
+               count(*)::BIGINT AS n_words,
+               sum(v.n_toks)::BIGINT AS n_tokens,
+               md5(string_agg(v.tokstr, ' ' ORDER BY d.pos)) AS tok_md5
+        FROM docw d JOIN vocab v USING (word)
+        GROUP BY d.doc_id
+    """
+
+
+def q_pii_scrub(spark, sf):
+    """PII/secret scrubbing (the standard pre-training redaction stage):
+    per-class match counts + md5 of the redacted text. The documents
+    corpus carries no organic PII, so each row deterministically injects
+    one of every class (email, phone, SSN, IPv4, key-shaped token)
+    derived from ``doc_id`` — the oracle injects the identical text in
+    SQL, so the hash verifies both the counting and the full redaction
+    chain byte-for-byte. Pure projection: zero exchanges, one codegen
+    stage (:func:`operators.pii.scrub_pii`)."""
+    from kafka_plugins_spark.operators.pii import scrub_pii
+
+    d = _t(spark, sf, "documents")
+    nn = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" or +1 555 010 "), nn,
+        F.lit(" ssn 123-45-"), nn,
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.lit(" key sk_"), F.md5(F.col("doc_id").cast("string")),
+    )
+    out = scrub_pii(d.select("doc_id", inj.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_secret",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from kafka_plugins_spark.operators.pii import PII_CLASSES
+
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_CLASSES
+    )
+    clean = "t"
+    for _, pat, rep in PII_CLASSES:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                        || ' or +1 555 010 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                        || ' key sk_' || md5(doc_id::VARCHAR) AS t
+            FROM documents)
+        SELECT doc_id,
+               {counts},
+               md5({clean}) AS clean_md5
+        FROM inj
+    """
+
+
 def q_split_assign(spark, sf):
     """Deterministic train/val/test assignment (90/5/5) by md5 bucket of
     (salt | doc_id) — stable across runs/partitionings/engines, unlike
@@ -895,6 +1035,10 @@ def _lang_list(lang: str) -> str:
 
 
 TEXT_ORACLES = {
+    # re-learns the merge list and re-tokenizes every doc in pure SQL
+    "bpe_encode": _bpe_encode_oracle_sql(),
+    # identical injection + RE2 recount + full redaction chain re-hash
+    "pii_scrub": _pii_scrub_oracle_sql(),
     # mirrors sampling.split_assign: bucket = int(md5('v1|'||id)[:4], 16) % 100
     "split_assign": f"""
         WITH h AS (
@@ -1478,6 +1622,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_encode": q_bpe_encode,
+    "pii_scrub": q_pii_scrub,
     "split_assign": q_split_assign,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

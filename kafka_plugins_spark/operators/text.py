@@ -256,3 +256,71 @@ def bpe_train(
             eager=True
         )
     return merges
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned merge list to the corpus vocabulary: one row per
+    DISTINCT word with its BPE token sequence ``syms`` under the trained
+    merges. This is the tokenizer's working set — O(distinct words), the
+    same reduction the trainer uses, tiny versus the corpus — so merge
+    application (one codegen'd JVM fold per merge, :func:`_apply_merge`)
+    never touches corpus-scale data. ``checkpoint_every`` bounds plan
+    depth for long merge lists (each merge adds one nested ``aggregate``
+    expression; eager localCheckpoint flattens it)."""
+    wf = word_frequencies(docs, text_col=text_col, id_col=id_col).withColumn(
+        "syms", _symbolize(F.col("word"))
+    )
+    for i, (left, right) in enumerate(merges):
+        wf = wf.withColumn("syms", _apply_merge(F.col("syms"), left, right))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            wf = wf.localCheckpoint(eager=True)
+    return wf.select("word", "syms")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale BPE tokenization under a trained vocab: per document,
+    the ordered token sequence plus counts — the operator a training
+    pipeline runs daily over the full corpus.
+
+    Scale shape: merges are applied once to the O(distinct words)
+    vocabulary (:func:`bpe_vocab`); the corpus pass is explode-words →
+    equi-join on ``word`` (AQE broadcasts the vocab when it fits, plain
+    shuffle join otherwise) → one groupBy per doc reassembling order via
+    ``array_sort`` on (pos, syms) structs. No Python row functions
+    anywhere; docs with zero words produce no row (no token sequence to
+    emit).
+
+    Returns ``(doc_id, n_words, n_tokens, tokens array<string>)``.
+    """
+    vocab = bpe_vocab(docs, merges, text_col=text_col, id_col=id_col)
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    joined = words.join(vocab, "word")
+    seq = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "syms"))), lambda s: s["syms"]
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), seq.alias("tokens"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )

@@ -408,6 +408,53 @@ def test_bpe_train_matches_reference(spark):
     assert got == want, (got, want)
 
 
+def _bpe_reference_encode(word: str, merges) -> list:
+    """Apply a merge list to one word, greedy left-to-right per merge —
+    the Sennrich apply step, pure Python."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Corpus tokenization under the trained vocab: per-doc token
+    SEQUENCES from bpe_encode must equal the pure-Python reference
+    applying the same merges word by word in document order."""
+    from kafka_plugins_spark.operators.text import bpe_encode, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "low lower lowest in the lowlands",
+        "new newer newest news",
+        "the the the lowly cat",
+        "",  # zero-word doc → no output row
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    merges = bpe_train(docs, n_merges=12)
+    assert len(merges) > 5  # the corpus supports a real merge list
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, t in enumerate(texts[:5]):
+        want_tokens = [
+            tok for w in t.lower().split() for tok in _bpe_reference_encode(w, merges)
+        ]
+        assert got[i]["tokens"] == want_tokens, (i, got[i]["tokens"], want_tokens)
+        assert got[i]["n_tokens"] == len(want_tokens)
+        assert got[i]["n_words"] == len(t.split())
+
+
 def test_bpe_pair_counts_first_round(spark):
     """First-round pair counts equal the reference's, including the
     frequency weighting and </w> markers."""
@@ -451,3 +498,30 @@ def test_split_stability_and_sampling(spark):
         split_assign(docs, train=70, val=40)
     with pytest.raises(ValueError):
         deterministic_sample(docs, 101)
+
+
+def test_scrub_pii_classes_and_redaction(spark):
+    """Each PII class is counted on the original text and redacted in
+    list order; clean text carries the placeholder tokens; PII-free text
+    passes through untouched with zero counts."""
+    from kafka_plugins_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.user+x@corp.example.org and b@x.io please"),
+            (1, "ssn 123-45-6789 phone (555) 123-4567 or 555-123-4567"),
+            (2, "host 192.168.001.1 token sk_abcdefghij0123456789 "
+                "hash 0123456789abcdef0123456789abcdef"),
+            (3, "nothing sensitive here at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["n_email"] == 2
+    assert out[0]["clean_text"] == "mail <EMAIL> and <EMAIL> please"
+    assert out[1]["n_ssn"] == 1 and out[1]["n_phone"] == 2
+    assert out[1]["clean_text"] == "ssn <SSN> phone <PHONE> or <PHONE>"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_secret"] == 2
+    assert out[2]["clean_text"] == "host <IP> token <KEY> hash <KEY>"
+    assert out[3]["clean_text"] == "nothing sensitive here at all"
+    assert all(out[3][f"n_{c}"] == 0 for c in ("email", "ssn", "phone", "ipv4", "secret"))
