@@ -173,3 +173,21 @@ def test_round4_operators_plan_shapes(spark):
     assert "BatchEvalPython" not in p
     # pair counting is partial-aggregated before its one shuffle
     assert p.index("HashAggregate") < p.index("Exchange")
+
+
+def test_round5_operators_plan_shapes(spark):
+    """Round-5 operators stay on the scale path: pii_scrub is a pure
+    projection (zero exchanges, no Python); bpe_encode's corpus pass is
+    an equi-join + one aggregation with no row-wise Python and no
+    cartesian blowup."""
+    from kafka_plugins_spark.operators.pii import scrub_pii
+    from kafka_plugins_spark.operators.text import bpe_encode
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    p = plan_of(scrub_pii(docs))
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(bpe_encode(docs, [("t", "h"), ("th", "e"), ("the", "</w>")]))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
