@@ -975,8 +975,17 @@ def q_pii_scrub(spark, sf):
     from kafka_plugins_spark.operators.pii import scrub_pii
 
     d = _t(spark, sf, "documents")
+    out = scrub_pii(d.select("doc_id", _pii_inject_expr().alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_secret",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _pii_inject_expr():
+    """The deterministic per-doc PII injection shared by the pii rows."""
     nn = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
-    inj = F.concat(
+    return F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
         F.lit(" or +1 555 010 "), nn,
@@ -984,11 +993,93 @@ def q_pii_scrub(spark, sf):
         F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
         F.lit(" key sk_"), F.md5(F.col("doc_id").cast("string")),
     )
-    out = scrub_pii(d.select("doc_id", inj.alias("text")))
-    return out.select(
-        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_secret",
-        F.md5("clean_text").alias("clean_md5"),
+
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com'"
+    " || ' or +1 555 010 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+    " || ' key sk_' || md5(doc_id::VARCHAR)"
+)
+
+
+def q_corpus_clean(spark, sf):
+    """END-TO-END pre-training cleanup — the operators composing in one
+    declarative plan, the way a production pipeline runs them: inject
+    per-doc PII (id-derived, so each copy's PII differs) → scrub →
+    exact-dedup on the CLEAN text (copies of one source become
+    identical only AFTER redaction — the realistic order) keeping the
+    min-id canonical per hash → quality metrics on the clean text →
+    quality-score gate. The corpus is doubled with id-shifted copies so
+    the dedup stage provably bites (every canonical has n_copies=2).
+    One codegen stage for inject+scrub, one window for the dedup
+    policy, quality pure projection — no Python anywhere."""
+    from kafka_plugins_spark.operators.pii import scrub_pii
+    from kafka_plugins_spark.operators.text import with_quality_metrics
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    scr = scrub_pii(base.select("doc_id", _pii_inject_expr().alias("text")))
+    hashed = scr.select("doc_id", "clean_text", F.md5("clean_text").alias("clean_md5"))
+    w = Window.partitionBy("clean_md5")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_copies", F.col("clean_text").alias("text"), "clean_md5")
     )
+    return with_quality_metrics(kept).filter(F.col("quality_score") >= 0.0).select(
+        "doc_id", "n_copies", "n_tokens", "quality_score", "clean_md5"
+    )
+
+
+def _corpus_clean_oracle_sql() -> str:
+    from kafka_plugins_spark.operators.pii import PII_CLASSES
+
+    clean = "t"
+    for _, pat, rep in PII_CLASSES:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM base),
+        cleaned AS (SELECT doc_id, {clean} AS text FROM inj),
+        hashed AS (SELECT doc_id, text, md5(text) AS clean_md5 FROM cleaned),
+        grp AS (
+            SELECT doc_id, text, clean_md5,
+                   row_number() OVER (PARTITION BY clean_md5 ORDER BY doc_id) AS rn,
+                   count(*) OVER (PARTITION BY clean_md5) AS n_copies
+            FROM hashed),
+        kept AS (SELECT doc_id, text, clean_md5, n_copies FROM grp WHERE rn = 1),
+        kw AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM kept),
+        qb AS (
+            SELECT k.doc_id, k.clean_md5, k.n_copies::BIGINT AS n_copies,
+                   length(k.text)::BIGINT AS n_chars,
+                   length(regexp_replace(k.text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+                   length(regexp_replace(k.text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct,
+                   len(w.w)::BIGINT AS n_tokens,
+                   len(list_filter(w.w, x -> x IN ({_STOP_EN_LIST})))::BIGINT AS n_stop
+            FROM kept k JOIN kw w ON k.doc_id = w.doc_id)
+        SELECT doc_id, n_copies, n_tokens,
+               round(n_alpha / greatest(n_chars, 1)
+                     - (n_punct / greatest(n_chars, 1)) * 2
+                     + least((n_stop / greatest(n_tokens, 1)) * 2, 0.4)
+                     + CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.2 ELSE 0.0 END,
+                     4) AS quality_score,
+               clean_md5
+        FROM qb
+        WHERE round(n_alpha / greatest(n_chars, 1)
+                    - (n_punct / greatest(n_chars, 1)) * 2
+                    + least((n_stop / greatest(n_tokens, 1)) * 2, 0.4)
+                    + CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.2 ELSE 0.0 END,
+                    4) >= 0.0
+    """
 
 
 def _pii_scrub_oracle_sql() -> str:
@@ -1003,12 +1094,7 @@ def _pii_scrub_oracle_sql() -> str:
         clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
     return f"""
         WITH inj AS (
-            SELECT doc_id,
-                   text || ' contact user' || doc_id::VARCHAR || '@example.com'
-                        || ' or +1 555 010 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                        || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                        || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7'
-                        || ' key sk_' || md5(doc_id::VARCHAR) AS t
+            SELECT doc_id, {_PII_INJECT_SQL} AS t
             FROM documents)
         SELECT doc_id,
                {counts},
@@ -1039,6 +1125,8 @@ TEXT_ORACLES = {
     "bpe_encode": _bpe_encode_oracle_sql(),
     # identical injection + RE2 recount + full redaction chain re-hash
     "pii_scrub": _pii_scrub_oracle_sql(),
+    # scrub -> dedup-on-clean -> quality gate, end-to-end in SQL
+    "corpus_clean": _corpus_clean_oracle_sql(),
     # mirrors sampling.split_assign: bucket = int(md5('v1|'||id)[:4], 16) % 100
     "split_assign": f"""
         WITH h AS (
@@ -1624,6 +1712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
     "pii_scrub": q_pii_scrub,
+    "corpus_clean": q_corpus_clean,
     "split_assign": q_split_assign,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

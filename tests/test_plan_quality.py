@@ -191,3 +191,11 @@ def test_round5_operators_plan_shapes(spark):
     p = plan_of(bpe_encode(docs, [("t", "h"), ("th", "e"), ("the", "</w>")]))
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # the end-to-end cleanup pipeline: inject+scrub+hash fuse into
+    # projections, the dedup policy is ONE window exchange, no Python
+    from kafka_plugins_spark.entry_queries import q_corpus_clean
+
+    p = plan_of(q_corpus_clean(docs.sparkSession, SF))
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    assert p.count("Window") <= 2  # rn + count share one window spec
