@@ -8,7 +8,7 @@ sync when changing semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small per-language stopword signals for the n-gram/lexicon heuristic
@@ -322,5 +322,58 @@ def bpe_encode(
             "n_words",
             F.size("tokens").cast("long").alias("n_tokens"),
             "tokens",
+        )
+    )
+
+
+def bpe_token_id_table(enc: DataFrame) -> DataFrame:
+    """Deterministic token-id assignment over an encoded corpus
+    (:func:`bpe_encode` output): ``(token, token_id, n_occurrences)``
+    with ids dense-packed by (occurrence count desc, token asc) — the
+    conventional frequency-ordered vocabulary file, stable across
+    runs/partitionings/engines. One explode + one groupBy; the id table
+    is O(vocab), broadcastable downstream."""
+    counts = (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        "token", (F.row_number().over(w) - 1).cast("long").alias("token_id"), "n_occurrences"
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc TOKEN-ID sequences under the trained vocab — what a
+    training pipeline actually materializes (``doc → int ids``).
+    Composition of :func:`bpe_encode` + :func:`bpe_token_id_table`: the
+    id join runs on the exploded token stream and order is reassembled
+    with the same (pos, value) array_sort trick; ids are frequency-rank
+    deterministic, so the output is engine/partitioning stable.
+
+    Note the id table's global ``row_number`` window: a single-partition
+    sort of O(vocab) rows — fine for any real vocabulary (≤ millions);
+    it never touches corpus-scale data.
+
+    Returns ``(doc_id, n_tokens, token_ids array<long>)``.
+    """
+    enc = bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    ids = bpe_token_id_table(enc).select("token", "token_id")
+    tok = enc.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token_id"))), lambda s: s["token_id"]
+    )
+    return (
+        tok.join(ids, "token")
+        .groupBy("doc_id")
+        .agg(seq.alias("token_ids"))
+        .select(
+            "doc_id", F.size("token_ids").cast("long").alias("n_tokens"), "token_ids"
         )
     )

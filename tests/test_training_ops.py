@@ -525,3 +525,31 @@ def test_scrub_pii_classes_and_redaction(spark):
     assert out[2]["clean_text"] == "host <IP> token <KEY> hash <KEY>"
     assert out[3]["clean_text"] == "nothing sensitive here at all"
     assert all(out[3][f"n_{c}"] == 0 for c in ("email", "ssn", "phone", "ipv4", "secret"))
+
+
+def test_bpe_encode_ids_frequency_ranked_and_consistent(spark):
+    """Token ids are dense frequency ranks (count desc, token asc), and
+    per-doc id sequences decode back to the token sequences."""
+    from kafka_plugins_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_token_id_table,
+        bpe_train,
+    )
+
+    texts = ["the cat sat on the mat", "the cats sat", "low lower lowest the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    merges = bpe_train(docs, n_merges=8)
+    enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
+    tbl = bpe_token_id_table(bpe_encode(docs, merges)).collect()
+    by_tok = {r["token"]: r for r in tbl}
+    # dense ids 0..V-1, ordered by (count desc, token asc)
+    ordering = sorted(tbl, key=lambda r: (-r["n_occurrences"], r["token"]))
+    assert [r["token_id"] for r in ordering] == list(range(len(tbl)))
+    # id sequences decode to the token sequences
+    got = {r["doc_id"]: r["token_ids"] for r in bpe_encode_ids(docs, merges).collect()}
+    for d, toks in enc.items():
+        assert got[d] == [by_tok[t]["token_id"] for t in toks]
+        assert len(got[d]) == len(toks)
