@@ -350,7 +350,8 @@ class _InRunMonitor:
         self.cores = cores
         ncpu = os.cpu_count() or cores
         self.md5_core = cores if cores < ncpu else None
-        self.path = tempfile.mktemp(prefix="inrun_monitor_")
+        fd, self.path = tempfile.mkstemp(prefix="inrun_monitor_")
+        os.close(fd)
         self.ev = mp.Event()
         self.proc = mp.Process(
             target=_monitor_loop, args=(self.path, cores, self.md5_core, self.ev)

@@ -553,3 +553,22 @@ def test_bpe_encode_ids_frequency_ranked_and_consistent(spark):
     for d, toks in enc.items():
         assert got[d] == [by_tok[t]["token_id"] for t in toks]
         assert len(got[d]) == len(toks)
+
+
+def test_scrub_pii_idempotent(spark):
+    """Scrubbing is a fixpoint: placeholders match no PII class, so a
+    second pass finds zero matches and changes nothing — the property
+    that makes re-running the stage on partially-clean data safe."""
+    from kafka_plugins_spark.entry_queries import _pii_inject_expr
+    from kafka_plugins_spark.operators.pii import scrub_pii
+
+    d = docs(spark).select("doc_id", _pii_inject_expr().alias("text"))
+    once = scrub_pii(d)
+    twice = scrub_pii(once.select("doc_id", F.col("clean_text").alias("text")))
+    agg = twice.agg(
+        *[F.sum(f"n_{c}").alias(c) for c in ("email", "ssn", "phone", "ipv4", "secret")]
+    ).collect()[0]
+    assert all(agg[c] == 0 for c in ("email", "ssn", "phone", "ipv4", "secret"))
+    a = once.select("doc_id", F.col("clean_text").alias("t"))
+    b = twice.select("doc_id", F.col("clean_text").alias("t"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
