@@ -151,8 +151,9 @@ def full_bench(sf_dir: str, cores: int) -> dict:
         ev = f"{work}/events"
         n = _gen_events(spark, sf_dir, ev)
         # The host steals CPU in minute-scale windows (identical runs vary
-        # 3-8×) — take the best of up to 3 replays (time-capped) so one
-        # dirty window doesn't define the recorded sustained throughput.
+        # 3-8×) — take the best of up to 6 replays (stops at 3 healthy-
+        # control reps or the 180 s time cap) so one dirty window doesn't
+        # define the recorded sustained throughput.
         # Each replay is preceded by the SAME interleaved pure-CPU md5
         # control the scaling harness uses, so the headline number ships
         # with per-run evidence of what the host could deliver at that
@@ -225,14 +226,17 @@ def full_bench(sf_dir: str, cores: int) -> dict:
     # attributable to candidate volume vs host weather
     from pyspark.sql import Observation
 
-    from kafka_plugins_spark.entry_queries import _trained_codebook
+    from kafka_plugins_spark.entry_queries import (
+        EMB_NEARDUP_IVF_PARAMS,
+        _trained_codebook,
+    )
     from kafka_plugins_spark.operators import similarity as sim
 
     obs = Observation("bench_ivf_candidates")
     sim.embedding_neardup_pairs_ivf(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        threshold=0.45, dim=64, n_cells=8, nprobe=4,
         centroids=_trained_codebook(spark, sf_dir), candidate_obs=obs,
+        **EMB_NEARDUP_IVF_PARAMS,
     ).write.format("noop").mode("overwrite").save()
     out["emb_neardup_ivf_candidates"] = obs.get["n_candidates"]
     return out
@@ -287,8 +291,12 @@ def _steal_sec() -> float:
 
 
 def _pinned_busy_jiffies(cores: int) -> int:
-    """Sum of non-idle jiffies across cpu0..cpu{cores-1} (the set taskset
-    pins replays to). Direct 'was the host stalling THIS second' signal."""
+    """Sum of GUEST-WORK jiffies across cpu0..cpu{cores-1} (the set
+    taskset pins replays to): user+nice+system+irq+softirq only. Idle,
+    iowait, AND steal/guest are excluded — steal is exactly the
+    hypervisor-stall signal this monitor exists to expose, so counting
+    it as 'busy' would hide the stall windows; guest time is already
+    folded into user on Linux and must not double-count."""
     total = 0
     with open("/proc/stat") as fh:
         for ln in fh:
@@ -296,7 +304,12 @@ def _pinned_busy_jiffies(cores: int) -> int:
                 parts = ln.split()
                 if int(parts[0][3:]) < cores:
                     vals = [int(x) for x in parts[1:]]
-                    total += sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+                    busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+                    if len(vals) > 8:
+                        busy -= vals[8]  # guest (inside user)
+                    if len(vals) > 9:
+                        busy -= vals[9]  # guest_nice (inside nice)
+                    total += busy
     return total
 
 
@@ -311,12 +324,16 @@ def _monitor_loop(out_path: str, cores: int, md5_core: int | None, stop_ev) -> N
                 try:
                     os.sched_setaffinity(0, {md5_core})
                     n, h = 0, b"x" * 64
-                    t_end = time.monotonic() + 0.3
+                    burn_t0 = time.monotonic()
+                    t_end = burn_t0 + 0.3
                     while time.monotonic() < t_end:
                         for _ in range(2000):
                             h = hashlib.md5(h).digest()
                         n += 2000
-                    rate = n / 0.3
+                    # divide by MEASURED elapsed, not the nominal window:
+                    # a preemption mid-chunk stretches elapsed — exactly
+                    # the stall this rate must reflect, not overstate
+                    rate = n / max(time.monotonic() - burn_t0, 1e-6)
                 except OSError:
                     pass
             stop_ev.wait(0.7)
@@ -353,8 +370,11 @@ class _InRunMonitor:
         fd, self.path = tempfile.mkstemp(prefix="inrun_monitor_")
         os.close(fd)
         self.ev = mp.Event()
+        self._rows: list | None = None
         self.proc = mp.Process(
-            target=_monitor_loop, args=(self.path, cores, self.md5_core, self.ev)
+            target=_monitor_loop,
+            args=(self.path, cores, self.md5_core, self.ev),
+            daemon=True,  # a hard-killed parent must not orphan the burner
         )
 
     def __enter__(self):
@@ -366,12 +386,11 @@ class _InRunMonitor:
         self.proc.join(5)
         if self.proc.is_alive():
             self.proc.terminate()
-
-    def summary(self) -> dict:
-        rows = []
+        # harvest + unlink HERE so a raising replay can't leak the file
+        self._rows = []
         try:
             with open(self.path) as fh:
-                rows = [json.loads(ln) for ln in fh if ln.strip()]
+                self._rows = [json.loads(ln) for ln in fh if ln.strip()]
         except OSError:
             pass
         finally:
@@ -379,6 +398,9 @@ class _InRunMonitor:
                 os.unlink(self.path)
             except OSError:
                 pass
+
+    def summary(self) -> dict:
+        rows = self._rows or []
         md5 = [r["md5_per_sec"] for r in rows if r.get("md5_per_sec")]
         busy = [r["busy_frac"] for r in rows if r.get("busy_frac") is not None]
         out: dict = {"inrun_samples": len(rows)}

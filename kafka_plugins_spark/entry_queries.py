@@ -1021,13 +1021,21 @@ def q_corpus_clean(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text")
     base = d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     scr = scrub_pii(base.select("doc_id", _pii_inject_expr().alias("text")))
-    hashed = scr.select("doc_id", "clean_text", F.md5("clean_text").alias("clean_md5"))
-    w = Window.partitionBy("clean_md5")
+    # Partition the dedup window by clean_text ITSELF, not md5(clean_text):
+    # an md5 column in the same projection collapses with scrub_pii's and
+    # Catalyst re-evaluates the whole 5-pass regex chain for both columns
+    # (the repo's documented CSE trap). The window consumes the attribute
+    # once; clean_md5 is derived AFTER the rn=1 filter, on half the rows.
+    w = Window.partitionBy("clean_text")
     kept = (
-        hashed.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        scr.select("doc_id", "clean_text")
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
         .withColumn("n_copies", F.count("*").over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "n_copies", F.col("clean_text").alias("text"), "clean_md5")
+        .select(
+            "doc_id", "n_copies", F.col("clean_text").alias("text"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
     )
     return with_quality_metrics(kept).filter(F.col("quality_score") >= 0.0).select(
         "doc_id", "n_copies", "n_tokens", "quality_score", "clean_md5"
@@ -1481,6 +1489,13 @@ def _ivf_train_ctes(dim: int = 64, n_cells: int = 8, n_iters: int = IVF_TRAIN_IT
     return ",\n        ".join(parts)
 
 
+# single source of truth for the emb_neardup_ivf hyperparameters: the
+# driver row, its oracle, AND bench.py's candidate-count observation all
+# read this, so the published candidate count always measures the same
+# query the timed row runs
+EMB_NEARDUP_IVF_PARAMS = {"threshold": 0.45, "dim": 64, "n_cells": 8, "nprobe": 4}
+
+
 def q_emb_neardup_ivf(spark, sf):
     """IVF-blocked near-dup — the loose-threshold scale path (approximate,
     recall dialed by nprobe; candidates exact-verified so output ⊆ the
@@ -1490,13 +1505,15 @@ def q_emb_neardup_ivf(spark, sf):
     probing + verification exactly."""
     cents = _trained_codebook(spark, sf)
     return sim.embedding_neardup_pairs_ivf(
-        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, n_cells=8, nprobe=4,
-        centroids=cents,
+        _t(spark, sf, "embeddings"), centroids=cents, **EMB_NEARDUP_IVF_PARAMS
     )
 
 
 def _emb_neardup_ivf_oracle_sql(
-    threshold: float = 0.45, dim: int = 64, n_cells: int = 8, nprobe: int = 4
+    threshold: float = EMB_NEARDUP_IVF_PARAMS["threshold"],
+    dim: int = EMB_NEARDUP_IVF_PARAMS["dim"],
+    n_cells: int = EMB_NEARDUP_IVF_PARAMS["n_cells"],
+    nprobe: int = EMB_NEARDUP_IVF_PARAMS["nprobe"],
 ) -> str:
     return f"""
         WITH {_ivf_train_ctes(dim, n_cells)},

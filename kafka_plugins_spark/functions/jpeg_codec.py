@@ -402,6 +402,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # marker code — skip them instead of reading 0xFF as the code
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated stream: 0xFF fill run reaches end of data")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -125,7 +125,12 @@ def _drop_delivered(df: DataFrame, delivered: dict[int, list[tuple[int, int]]]) 
         & (F.col("offset") >= F.col("_iv_lo"))
         & (F.col("offset") < F.col("_iv_hi"))
     )
-    return df.join(F.broadcast(ivdf), cond, "left_anti")
+    # NULL envelope keys never match a join condition, so a LEFT ANTI
+    # would KEEP them — but the inline predicate path drops them
+    # (filter(~NULL) is filter(NULL)). Envelope columns are non-null by
+    # construction; still, both paths must agree, so drop explicitly.
+    non_null = df.filter(F.col("partition").isNotNull() & F.col("offset").isNotNull())
+    return non_null.join(F.broadcast(ivdf), cond, "left_anti")
 
 
 def _append_lineage_file(lineage_dir: str, rows: list[tuple]) -> None:

@@ -284,35 +284,40 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         prop = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        # pointer doubling: every label value is itself a doc id (labels
-        # only ever take existing ids), so label→label-of-label is a
-        # complete inner self-join
-        grand = (
-            labels.alias("l")
-            .join(labels.alias("m"), F.col("l.label") == F.col("m.id"))
-            .select(F.col("l.id").alias("gid"), F.col("m.label").alias("glabel"))
-        )
-        stepped = (
-            labels.join(prop, labels["id"] == prop["dst"], "left")
-            .join(grand, labels["id"] == grand["gid"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"],
-                    F.coalesce(prop["nlabel"], labels["label"]),
-                    F.coalesce(grand["glabel"], labels["label"]),
-                ).alias("label"),
-                (
-                    (F.coalesce(prop["nlabel"], labels["label"]) < labels["label"])
-                    | (F.coalesce(grand["glabel"], labels["label"]) < labels["label"])
-                ).alias("_chg"),
+        stepped = labels.join(prop, labels["id"] == prop["dst"], "left")
+        if it == 0:
+            # round 1: labels are the identity map, so label-of-label ==
+            # label — the shortcut join would be a guaranteed-no-op O(V)
+            # shuffle; skip it
+            glabel = labels["label"]
+        else:
+            # pointer doubling: every label value is itself a doc id
+            # (labels only ever take existing ids), so label→
+            # label-of-label is a complete inner self-join
+            grand = (
+                labels.alias("l")
+                .join(labels.alias("m"), F.col("l.label") == F.col("m.id"))
+                .select(F.col("l.id").alias("gid"), F.col("m.label").alias("glabel"))
             )
+            stepped = stepped.join(grand, labels["id"] == grand["gid"], "left")
+            glabel = F.coalesce(grand["glabel"], labels["label"])
+        stepped = stepped.select(
+            labels["id"],
+            F.least(
+                labels["label"],
+                F.coalesce(prop["nlabel"], labels["label"]),
+                glabel,
+            ).alias("label"),
+            (
+                (F.coalesce(prop["nlabel"], labels["label"]) < labels["label"])
+                | (glabel < labels["label"])
+            ).alias("_chg"),
         )
         stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("_chg")).count()

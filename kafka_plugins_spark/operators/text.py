@@ -363,7 +363,11 @@ def bpe_encode_ids(
 
     Returns ``(doc_id, n_tokens, token_ids array<long>)``.
     """
-    enc = bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    # two consumers (id table + re-explode) — materialize the encoded
+    # corpus once instead of re-running the merge folds + corpus join
+    enc = bpe_encode(docs, merges, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     ids = bpe_token_id_table(enc).select("token", "token_id")
     tok = enc.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
     seq = F.transform(
