@@ -963,6 +963,49 @@ def _bpe_encode_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
     """
 
 
+def q_bpe_token_ids(spark, sf):
+    """Per-doc TOKEN-ID sequences under the trained vocab — the artifact
+    a training pipeline materializes. Ids are frequency ranks
+    (occurrences desc, token asc — deterministic); the oracle re-learns
+    the merges, re-tokenizes, re-ranks the vocabulary and re-hashes
+    every document's id sequence in SQL, so the hash verifies the id
+    TABLE and every per-doc sequence."""
+    merges = _bpe_merges(spark, sf)
+    ids = tx.bpe_encode_ids(_t(spark, sf, "documents"), merges)
+    return ids.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(
+            F.concat_ws(" ", F.transform("token_ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    )
+
+
+def _bpe_token_ids_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Extends :func:`_bpe_encode_oracle_sql`'s learned vocab with the
+    frequency-rank id table and per-doc ordered id-sequence hashes."""
+    base = _bpe_encode_oracle_sql(n_merges)
+    # reuse everything up to the final SELECT (the CTE chain ends with
+    # vocab + docw); swap in the id-ranking tail
+    head = base[: base.rindex("SELECT d.doc_id")].rstrip()
+    return head + """,
+        wordtok AS (
+            SELECT d.doc_id, d.pos AS wpos, string_split(v.tokstr, ' ') AS s
+            FROM docw d JOIN vocab v USING (word)),
+        doctok AS (
+            SELECT doc_id, wpos, t.i AS tpos, s[t.i] AS token
+            FROM wordtok, UNNEST(generate_series(1, len(s))) AS t(i)),
+        tokid AS (
+            SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS tid
+            FROM (SELECT token, count(*) AS n FROM doctok GROUP BY token))
+        SELECT doc_id,
+               count(*)::BIGINT AS n_tokens,
+               md5(string_agg(tid::VARCHAR, ' ' ORDER BY wpos, tpos)) AS ids_md5
+        FROM doctok JOIN tokid USING (token)
+        GROUP BY doc_id
+    """
+
+
 def q_pii_scrub(spark, sf):
     """PII/secret scrubbing (the standard pre-training redaction stage):
     per-class match counts + md5 of the redacted text. The documents
@@ -1131,6 +1174,8 @@ def _lang_list(lang: str) -> str:
 TEXT_ORACLES = {
     # re-learns the merge list and re-tokenizes every doc in pure SQL
     "bpe_encode": _bpe_encode_oracle_sql(),
+    # …then re-ranks the vocab and re-hashes every id sequence
+    "bpe_token_ids": _bpe_token_ids_oracle_sql(),
     # identical injection + RE2 recount + full redaction chain re-hash
     "pii_scrub": _pii_scrub_oracle_sql(),
     # scrub -> dedup-on-clean -> quality gate, end-to-end in SQL
@@ -1728,6 +1773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow": q_doc_winnow,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
+    "bpe_token_ids": q_bpe_token_ids,
     "pii_scrub": q_pii_scrub,
     "corpus_clean": q_corpus_clean,
     "split_assign": q_split_assign,
