@@ -133,6 +133,49 @@ def q_cdc_final_state_mor(spark, sf):
     return out
 
 
+def q_cdc_changelog(spark, sf):
+    """Incremental changelog read (Iceberg changelog-view / Delta CDF
+    semantics), driver-verified end-to-end: ingest the events table into
+    a scratch MoR snapshot table as TWO commits split at the median
+    offset, then return ``changes_between(first, second)`` — the
+    insert / delete / update_before / update_after rows that turn the
+    first converged state into the second. The oracle recomputes both
+    per-user states relationally and diffs them with a FULL OUTER JOIN,
+    so a hash match proves the engine's pruned incremental read emits
+    exactly the relational delta. (The reference has no changelog read;
+    its consumers re-scan the sink — SURVEY §2b gap closed here.)"""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
+    scratch = tempfile.mkdtemp(prefix="chlog_entry_")
+    table = ParquetSnapshotTable(spark, scratch, mode="mor")
+    r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
+    r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
+    out = (
+        table.changes_between(r1.snapshot_id, r2.snapshot_id)
+        .withColumnRenamed("_change_type", "change_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def q_cdc_decode_dlq(spark, sf):
     """Dead-letter routing, driver-verified: build a wire frame from the
     events table where user_id%37==0 payloads are corrupted to invalid
@@ -219,6 +262,55 @@ CDC_ORACLES = {
                max(event_id) + 1  AS end_offset,
                count(*)           AS rows
         FROM events GROUP BY 1
+    """,
+    # the relational delta the engine's incremental changelog read must emit:
+    # converged per-user state below the median offset vs over all events,
+    # diffed key-wise — absent->present = insert, present->absent = delete,
+    # both-but-different = update pre/post image pair. 'error' tombstones a
+    # key, so a state is "present" only when its last writer isn't 'error'.
+    "cdc_changelog": """
+        WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+        a AS (
+            SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+                   arg_max(event_type, event_id)  AS role,
+                   CAST(max(event_id) AS VARCHAR) AS text,
+                   arg_max(ts, event_id)          AS ts
+            FROM events, cut WHERE event_id < cut.c GROUP BY user_id
+            HAVING arg_max(event_type, event_id) <> 'error'
+        ),
+        b AS (
+            SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+                   arg_max(event_type, event_id)  AS role,
+                   CAST(max(event_id) AS VARCHAR) AS text,
+                   arg_max(ts, event_id)          AS ts
+            FROM events GROUP BY user_id
+            HAVING arg_max(event_type, event_id) <> 'error'
+        ),
+        j AS (
+            SELECT a.conv_id AS ak, b.conv_id AS bk,
+                   a.role AS ar, a.text AS atx, a.ts AS ats,
+                   b.role AS br, b.text AS btx, b.ts AS bts
+            FROM a FULL OUTER JOIN b ON a.conv_id = b.conv_id
+        ),
+        upd AS (
+            SELECT * FROM j
+            WHERE ak IS NOT NULL AND bk IS NOT NULL
+              AND (ar IS DISTINCT FROM br OR atx IS DISTINCT FROM btx
+                   OR ats IS DISTINCT FROM bts)
+        )
+        SELECT bk AS conv_id, 0::INT AS turn_idx, br AS role, btx AS text,
+               CAST(NULL AS VARCHAR) AS tool, bts AS ts,
+               'insert' AS change_type
+        FROM j WHERE ak IS NULL
+        UNION ALL
+        SELECT ak, 0::INT, ar, atx, CAST(NULL AS VARCHAR), ats, 'delete'
+        FROM j WHERE bk IS NULL
+        UNION ALL
+        SELECT ak, 0::INT, ar, atx, CAST(NULL AS VARCHAR), ats, 'update_before'
+        FROM upd
+        UNION ALL
+        SELECT bk, 0::INT, br, btx, CAST(NULL AS VARCHAR), bts, 'update_after'
+        FROM upd
     """,
     # the converged state the chunked MoR engine run must reproduce
     "cdc_final_state_mor": """
@@ -1747,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_final_state_mor": q_cdc_final_state_mor,
     "cdc_partition_offsets": q_cdc_partition_offsets,
+    "cdc_changelog": q_cdc_changelog,
     "cdc_decode_dlq": q_cdc_decode_dlq,
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,

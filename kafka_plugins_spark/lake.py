@@ -343,6 +343,127 @@ class ParquetSnapshotTable:
             return self.spark.createDataFrame([], LINEAGE)
         return self.spark.read.schema(LINEAGE).parquet(d)
 
+    def changes_between(
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog read: the row-level changes that turn the
+        visible table at ``from_snapshot_id`` into the visible table at
+        ``to_snapshot_id`` (default: current). Same contract as Iceberg's
+        changelog view / Delta's change-data-feed: one row per change with
+        a ``_change_type`` column in ``insert | delete | update_before |
+        update_after`` (updates emit a pre/post image pair). This is the
+        read half of CDC — downstream consumers tail the lake
+        incrementally instead of re-scanning converged state; the
+        reference has no analogue (its consumers re-read the sink).
+
+        ``from_snapshot_id=None`` diffs against the empty table (every
+        visible row of the target snapshot is an ``insert``).
+
+        Scale shape: classification is ONE full-outer sort-merge join on
+        the key. On a MoR table whose target snapshot still lists every
+        delta dir of the base snapshot (the steady-state between
+        compactions), both sides are first semi-joined to the distinct
+        keys of the NEW delta dirs only — a column-pruned scan of just the
+        increment, so the join inputs shrink to the changed keys and AQE
+        broadcasts them; the 100 TB of untouched keys never enters the
+        join. CoW rewrites every file per commit, so no file-level pruning
+        exists there — the full join is the honest cost, and the docs
+        steer incremental consumers to MoR.
+
+        Schema evolution: both snapshots read under the TARGET snapshot's
+        (superset) schema — reader-side evolution surfaces columns added
+        in between as nulls on the base side, so populating a new column
+        classifies as an update rather than a spurious insert.
+        """
+        snap_b = (
+            self.current_snapshot()
+            if to_snapshot_id is None
+            else self.snapshot_by_id(to_snapshot_id)
+        )
+        if snap_b is None:
+            raise ValueError("changes_between: table has no snapshot to diff to")
+        snap_a = None if from_snapshot_id is None else self.snapshot_by_id(from_snapshot_id)
+        if snap_a is not None and snap_a["snapshot_id"] >= snap_b["snapshot_id"]:
+            raise ValueError(
+                "changes_between: from_snapshot_id "
+                f"{snap_a['snapshot_id']} is not older than target "
+                f"{snap_b['snapshot_id']}"
+            )
+        schema_b = self._schema_of(snap_b)
+        payload = [f.name for f in schema_b.fields]
+        stored = _with_system_columns(schema_b)
+
+        def resolved(snap: dict | None) -> DataFrame:
+            paths = self._snapshot_paths(snap)
+            if not paths:
+                return self.spark.createDataFrame([], stored)
+            raw = self.spark.read.schema(stored).parquet(*paths)
+            if len(paths) == 1:
+                return raw
+            w = Window.partitionBy(*KEY_COLUMNS).orderBy(F.desc("_offset"))
+            return (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+        a, b = resolved(snap_a), resolved(snap_b)
+
+        # MoR increment pruning: when B's path list extends A's, every
+        # change is confined to keys present in the new delta dirs.
+        paths_a, paths_b = self._snapshot_paths(snap_a), self._snapshot_paths(snap_b)
+        new_paths = paths_b[len(paths_a):]
+        if paths_a and paths_a == paths_b[: len(paths_a)] and new_paths:
+            changed = (
+                self.spark.read.schema(stored)
+                .parquet(*new_paths)
+                .select(*KEY_COLUMNS)
+                .distinct()
+            )
+            a = a.join(changed, KEY_COLUMNS, "left_semi")
+            b = b.join(changed, KEY_COLUMNS, "left_semi")
+
+        # Visible rows only (tombstones classify as absent), plus a match
+        # marker that survives the outer join.
+        def visible(df: DataFrame, tag: str) -> DataFrame:
+            return (
+                df.filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
+                .select(
+                    *KEY_COLUMNS,
+                    F.struct(*payload).alias(f"_{tag}_row"),
+                    F.lit(True).alias(f"_{tag}_m"),
+                )
+            )
+
+        j = visible(a, "a").join(visible(b, "b"), KEY_COLUMNS, "full_outer")
+        in_a = F.coalesce(F.col("_a_m"), F.lit(False))
+        in_b = F.coalesce(F.col("_b_m"), F.lit(False))
+        chg = T.StructType(
+            list(schema_b.fields) + [T.StructField("_change_type", T.StringType(), False)]
+        )
+
+        def img(src: str, kind: str):
+            return F.struct(
+                *[F.col(f"_{src}_row.{c}").alias(c) for c in payload],
+                F.lit(kind).alias("_change_type"),
+            )
+
+        changes = (
+            F.when(~in_a & in_b, F.array(img("b", "insert")))
+            .when(in_a & ~in_b, F.array(img("a", "delete")))
+            .when(
+                in_a & in_b & ~F.col("_a_row").eqNullSafe(F.col("_b_row")),
+                F.array(img("a", "update_before"), img("b", "update_after")),
+            )
+            .otherwise(F.array().cast(T.ArrayType(chg)))
+        )
+        return (
+            j.select(F.explode(changes).alias("_c"))
+            .select("_c.*")
+        )
+
     # --- the exactly-once merge -------------------------------------------
     def merge_into(
         self,

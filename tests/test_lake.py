@@ -249,3 +249,130 @@ def test_drop_delivered_fragmented_interval_set_bounded_plan(spark):
     assert "Join" not in small_plan
     assert small.count() == 4 * n_iv - 15
     assert sum(len(v) for v in delivered.values()) > DELIVERED_FILTER_MAX_INTERVALS
+
+
+# --- incremental changelog read (changes_between) --------------------------
+# The read half of CDC: Iceberg-changelog / Delta-CDF semantics over the
+# sandbox snapshot table. Every scenario must hold in BOTH write modes.
+
+def _batch(spark, rows):
+    from kafka_plugins_spark.schema import CHANGE_EVENT
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [(cid, 0, role, text, None, ts, op, 0, off) for (cid, role, text, op, off) in rows],
+        CHANGE_EVENT,
+    )
+
+
+def _changes(table, a, b):
+    rows = table.changes_between(a, b).collect()
+    return sorted((r["conv_id"], r["_change_type"], r["text"]) for r in rows)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_changelog_classifies_insert_update_delete(spark, tmp_path, mode):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
+    r1 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [("k1", "user", "a", "I", 0), ("k2", "user", "b", "I", 1),
+                           ("k3", "user", "c", "I", 2)])
+        ),
+        batch_id=0,
+    )
+    r2 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [("k2", "user", "b2", "U", 3), ("k3", None, None, "D", 4),
+                           ("k4", "user", "d", "I", 5)])
+        ),
+        batch_id=1,
+    )
+    got = _changes(table, r1.snapshot_id, r2.snapshot_id)
+    assert got == [
+        ("k2", "update_after", "b2"),
+        ("k2", "update_before", "b"),
+        ("k3", "delete", "c"),
+        ("k4", "insert", "d"),
+    ]
+    # k1 untouched — emits nothing; from=None sees only visible rows, all inserts
+    assert _changes(table, None, r2.snapshot_id) == [
+        ("k1", "insert", "a"),
+        ("k2", "insert", "b2"),
+        ("k4", "insert", "d"),
+    ]
+    with pytest.raises(ValueError):
+        table.changes_between(r2.snapshot_id, r1.snapshot_id)
+
+
+def test_changelog_mor_equals_cow(spark, events_path, tmp_path):
+    """Replay the same chunked event log through both modes; the changelog
+    between every adjacent snapshot pair must be identical — MoR's pruned
+    increment path and CoW's full-join path compute the same answer."""
+    from kafka_plugins_spark.replay import replay
+
+    cow, rc = replay(spark, events_path, str(tmp_path / "cow"), chunk_size=300, mode="cow")
+    mor, rm = replay(spark, events_path, str(tmp_path / "mor"), chunk_size=300, mode="mor")
+    snaps_c = [r.snapshot_id for r in rc if not r.skipped]
+    snaps_m = [r.snapshot_id for r in rm if not r.skipped]
+    assert len(snaps_c) == len(snaps_m) >= 2
+    key = ["conv_id", "turn_idx", "_change_type"]
+    for (a_c, b_c), (a_m, b_m) in zip(
+        zip(snaps_c, snaps_c[1:]), zip(snaps_m, snaps_m[1:])
+    ):
+        pc = cow.changes_between(a_c, b_c).toPandas().sort_values(key).reset_index(drop=True)
+        pm = mor.changes_between(a_m, b_m).toPandas().sort_values(key).reset_index(drop=True)
+        assert pc.equals(pm), (a_c, b_c)
+        assert len(pc) > 0
+
+
+def test_changelog_applies_to_prior_snapshot(spark, events_path, tmp_path):
+    """Algebraic invariant: visible(A) + changes(A→B) == visible(B) —
+    apply inserts/update_afters, drop deletes/update_befores."""
+    from kafka_plugins_spark.replay import replay
+
+    table, res = replay(spark, events_path, str(tmp_path / "t"), chunk_size=400, mode="mor")
+    snaps = [r.snapshot_id for r in res if not r.skipped]
+    a_id, b_id = snaps[0], snaps[-1]
+    ch = table.changes_between(a_id, b_id).toPandas()
+    before = table.read(a_id).toPandas()
+    after = table.read(b_id).toPandas()
+    key = ["conv_id", "turn_idx"]
+    removed = ch[ch["_change_type"].isin(["delete", "update_before"])][key]
+    added = ch[ch["_change_type"].isin(["insert", "update_after"])].drop(columns="_change_type")
+    patched = (
+        before.merge(removed.assign(_rm=1), on=key, how="left")
+        .query("_rm != 1")
+        .drop(columns="_rm")
+    )
+    import pandas as pd
+
+    patched = pd.concat([patched, added], ignore_index=True)
+    srt = lambda d: d.sort_values(key).reset_index(drop=True)[sorted(d.columns)]
+    assert srt(patched).equals(srt(after))
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_changelog_schema_evolution_is_update(spark, tmp_path, mode):
+    """A later commit that only populates a newly-added column must
+    classify as an update pair (old image carries NULL for the new
+    column), not as a spurious insert."""
+    from kafka_plugins_spark.schema import CHANGE_EVENT_V0
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
+    v0 = spark.createDataFrame(
+        [("k1", 0, "user", "a", ts, "I", 0, 0)], CHANGE_EVENT_V0
+    )
+    r1 = table.merge_into(last_writer_wins(v0), batch_id=0)
+    from kafka_plugins_spark.schema import CHANGE_EVENT
+
+    v1 = spark.createDataFrame(
+        [("k1", 0, "user", "a", "calc", ts, "U", 0, 1)], CHANGE_EVENT
+    )
+    r2 = table.merge_into(last_writer_wins(v1), batch_id=1)
+    rows = {r["_change_type"]: r for r in table.changes_between(r1.snapshot_id, r2.snapshot_id).collect()}
+    assert set(rows) == {"update_before", "update_after"}
+    assert rows["update_before"]["tool"] is None
+    assert rows["update_after"]["tool"] == "calc"

@@ -199,3 +199,26 @@ def test_round5_operators_plan_shapes(spark):
     p = plan_of(q_corpus_clean(docs.sparkSession, SF))
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
     assert p.count("Window") <= 2  # rn + count share one window spec
+
+
+def test_changelog_mor_increment_is_pruned(spark, events_path, tmp_path):
+    """The incremental changelog read on an uncompacted MoR table must be
+    the increment-shaped plan: both join sides semi-joined to the changed
+    keys of the NEW delta dirs only (the changed-key scan lists no base
+    dir), classification in one full-outer join, zero row-wise Python."""
+    from kafka_plugins_spark.replay import replay
+
+    table, res = replay(
+        spark, events_path, str(tmp_path / "t"), chunk_size=300, mode="mor"
+    )
+    snaps = [r.snapshot_id for r in res if not r.skipped]
+    df = table.changes_between(snaps[-2], snaps[-1])
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p, "MoR increment must key-prune via semi-join"
+    # the changed-key scan reads ONLY the newest delta dir (a 1-path file
+    # index; both resolved sides scan >= 2 dirs) and ONLY the key columns
+    assert len(table.current_snapshot()["data_paths"]) >= 3
+    assert "InMemoryFileIndex(1 paths)" in p
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in p
