@@ -176,6 +176,56 @@ def q_cdc_changelog(spark, sf):
     return out
 
 
+def q_cdc_incremental_agg(spark, sf):
+    """Incremental materialized-view maintenance, driver-verified
+    end-to-end: ingest the events table into a scratch MoR snapshot
+    table as TWO commits split at the median offset, bootstrap a per-role
+    (count, sum-of-text-length) aggregate from the FIRST snapshot only,
+    then advance it to the second snapshot by applying the
+    ``changes_between`` delta algebraically — the base table is never
+    re-read. The oracle aggregates the final converged state directly,
+    so a hash match proves O(delta) maintenance lands on exactly the
+    from-scratch answer, including groups that appear, drop to zero, or
+    migrate rows via update pairs. (The reference's consumers re-scan
+    the sink and re-aggregate; this is the maintained-state upgrade.)"""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.incremental import (
+        apply_count_sum_delta,
+        count_sum_aggregate,
+    )
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
+    scratch = tempfile.mkdtemp(prefix="incagg_entry_")
+    table = ParquetSnapshotTable(spark, scratch, mode="mor")
+    r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
+    r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
+    with_len = lambda df: df.withColumn("text_len", F.length("text"))
+    prior = count_sum_aggregate(with_len(table.read(r1.snapshot_id)), ["role"], ["text_len"])
+    ch = with_len(table.changes_between(r1.snapshot_id, r2.snapshot_id))
+    out = (
+        apply_count_sum_delta(ch, prior, ["role"], ["text_len"])
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def q_cdc_decode_dlq(spark, sf):
     """Dead-letter routing, driver-verified: build a wire frame from the
     events table where user_id%37==0 payloads are corrupted to invalid
@@ -311,6 +361,22 @@ CDC_ORACLES = {
         UNION ALL
         SELECT bk, 0::INT, br, btx, CAST(NULL AS VARCHAR), bts, 'update_after'
         FROM upd
+    """,
+    # the from-scratch aggregate the O(delta) incremental maintenance must
+    # land on: per-role count + sum of text length over the FINAL converged
+    # per-user state (tombstoned keys absent). The oracle never sees the
+    # snapshot cut — equality proves incremental == recompute.
+    "cdc_incremental_agg": """
+        WITH final AS (
+            SELECT arg_max(event_type, event_id)  AS role,
+                   CAST(max(event_id) AS VARCHAR) AS text
+            FROM events GROUP BY user_id
+            HAVING arg_max(event_type, event_id) <> 'error'
+        )
+        SELECT role,
+               COUNT(*)::BIGINT          AS cnt,
+               SUM(length(text))::BIGINT AS sum_text_len
+        FROM final GROUP BY role
     """,
     # the converged state the chunked MoR engine run must reproduce
     "cdc_final_state_mor": """
@@ -937,6 +1003,21 @@ def q_doc_winnow(spark, sf):
     return tx.winnowing_fingerprints(_t(spark, sf, "documents"), k=8, window=4)
 
 
+def q_doc_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring: train an add-1 character-trigram
+    model on the documents corpus (one explode + two count aggregates;
+    the model relation is ≤ 37³ rows → broadcast), then score every
+    document's perplexity under it (two broadcast joins + one per-doc
+    aggregation — O(corpus chars), zero Python). The oracle re-trains
+    and re-scores the identical model in SQL, so a hash match proves the
+    whole train→score pipeline, not just the plumbing."""
+    from kafka_plugins_spark.operators import lm
+
+    docs = _t(spark, sf, "documents")
+    gram_counts, ctx_counts = lm.char_ngram_model(docs)
+    return lm.lm_perplexity(docs, gram_counts, ctx_counts)
+
+
 _WORDS_CTE = """
 words AS (
     SELECT doc_id,
@@ -1301,6 +1382,33 @@ TEXT_ORACLES = {
             FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS t(i))
         SELECT lhs, rhs, sum(freq)::BIGINT AS n
         FROM pairs GROUP BY lhs, rhs
+    """,
+    # re-trains the add-1 char-trigram model and re-scores every doc:
+    # p(gram) = (c(gram)+1) / (c(2-char ctx)+37), ppl = exp(-mean ln p)
+    "doc_lm_perplexity": """
+        WITH normd AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id, substr(t, p.i, 3) AS gram
+            FROM normd,
+                 UNNEST(generate_series(1, greatest(length(t) - 2, 0))) AS p(i)),
+        gc AS (SELECT gram, count(*)::BIGINT AS c FROM grams GROUP BY gram),
+        cc AS (SELECT substr(gram, 1, 2) AS ctx, sum(c)::BIGINT AS c
+               FROM gc GROUP BY 1),
+        scored AS (
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(ln((gc.c + 1.0) / (cc.c + 37.0))) AS ll
+            FROM grams g
+            JOIN gc USING (gram)
+            JOIN cc ON cc.ctx = substr(g.gram, 1, 2)
+            GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+               round(exp(-s.ll / s.n_grams), 3) AS ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
     "doc_winnow": """
         WITH normd AS (
@@ -1840,6 +1948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state_mor": q_cdc_final_state_mor,
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_decode_dlq": q_cdc_decode_dlq,
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,
@@ -1864,6 +1973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
+    "doc_lm_perplexity": q_doc_lm_perplexity,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
     "bpe_token_ids": q_bpe_token_ids,

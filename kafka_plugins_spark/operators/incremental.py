@@ -1,0 +1,179 @@
+"""Incremental maintenance of downstream aggregates from the changelog.
+
+The read half of CDC (``ParquetSnapshotTable.changes_between``) exists so
+consumers do NOT re-scan converged state; this module is the canonical
+such consumer: keep a materialized grouped aggregate current by applying
+the snapshot-to-snapshot delta instead of recomputing from the table.
+(The reference has no analogue — its consumers re-read the sink and
+re-aggregate from scratch; generalizes the sink-side contract of
+KafkaBatchSink.java:61-118 to maintained state.)
+
+Two refresh strategies, chosen by what the aggregate admits:
+
+- :func:`apply_count_sum_delta` — for *invertible* aggregates
+  (count / sum), the delta applies algebraically: every ``insert`` /
+  ``update_after`` image contributes ``+1`` (``+value``), every
+  ``delete`` / ``update_before`` image ``−1`` (``−value``). Cost is
+  O(|delta|) plus one key join against the aggregate itself — the base
+  table is never read. This is the 100 TB shape: a day's changes against
+  a petabyte table refresh in time proportional to the day, not the
+  petabyte.
+- :func:`refresh_affected_groups` — for non-invertible aggregates
+  (min / max / count-distinct / top-k), deletes can't be subtracted, so
+  the groups *touched* by the delta are recomputed from the target
+  snapshot and patched into the prior aggregate. Cost is O(|delta|) for
+  the affected-key set + a recompute whose aggregation shuffles only the
+  affected groups (the snapshot scan itself is pruned by the semi-join's
+  runtime filter where file/row-group stats allow; worst case it is a
+  scan, never a full re-aggregation).
+
+Both treat NULL group keys as a real group (null-safe joins throughout):
+an aggregate over a nullable dimension must not silently split or drop
+the NULL bucket.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: change-type values contributing positively / negatively to a delta
+_ADDED = ("insert", "update_after")
+_REMOVED = ("delete", "update_before")
+
+
+def _null_safe_on(left: str, right: str, cols: list[str]) -> Column:
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+    )
+
+
+def count_sum_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "cnt",
+) -> DataFrame:
+    """From-scratch shape of the maintained aggregate: one row per group
+    with a row count and one ``sum_<c>`` per requested column. Used to
+    bootstrap the materialized view (and, in tests, as the ground truth
+    the incremental path must reproduce exactly)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def apply_count_sum_delta(
+    changes: DataFrame,
+    prior: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Advance a :func:`count_sum_aggregate` materialization by one
+    changelog increment, in O(|delta|): aggregate the signed
+    contributions of the change rows per group, then merge into the
+    prior aggregate with one null-safe full-outer key join. Groups whose
+    count reaches zero disappear (exactly as a recompute would drop
+    them); a group first seen in the delta appears. The base table is
+    never touched.
+
+    ``changes`` is the output of ``changes_between`` (must carry
+    ``_change_type`` plus the group/sum columns — project derived
+    measures onto it first if needed). Update pairs that do not move the
+    row across groups cancel in-group, so group-preserving updates cost
+    nothing in the merged result; group-crossing updates migrate the
+    row's contribution between the two groups.
+
+    A consistent changelog can never drive a count negative (every
+    removed image was previously inserted); a negative merged count
+    therefore means the prior aggregate and the changelog diverged
+    (wrong snapshot pair, or a prior built with different group columns).
+    The count expression raises in that case — inline, during whatever
+    action consumes the result, so the guard costs no extra job and
+    corruption can never materialize silently.
+    """
+    sign = F.when(F.col("_change_type").isin(*_ADDED), F.lit(1)).otherwise(F.lit(-1))
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias("_d_cnt"),
+        *[F.sum(sign * F.col(c)).alias(f"_d_sum_{c}") for c in sum_cols],
+    )
+    p, d = prior.alias("p"), delta.alias("d")
+    cnt = F.coalesce(F.col(f"p.{count_col}"), F.lit(0)) + F.coalesce(
+        F.col("d._d_cnt"), F.lit(0)
+    )
+    merged = (
+        p.join(d, _null_safe_on("p", "d", group_cols), "full_outer")
+        .select(
+            *[F.coalesce(F.col(f"p.{g}"), F.col(f"d.{g}")).alias(g) for g in group_cols],
+            F.when(cnt >= 0, cnt)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "apply_count_sum_delta: a group's count went negative — "
+                        "the changelog increment does not follow from the prior "
+                        "aggregate (stale prior, wrong snapshot pair, or "
+                        "mismatched group columns)"
+                    )
+                )
+            )
+            .alias(count_col),
+            *[
+                # sum_<c> over an all-NULL measure column is NULL in both
+                # the from-scratch and the delta shape; 0 + NULL here
+                # would turn it into 0 and break recompute equivalence
+                F.when(
+                    F.col(f"p.sum_{c}").isNull() & F.col(f"d._d_sum_{c}").isNull(),
+                    F.lit(None),
+                )
+                .otherwise(
+                    F.coalesce(F.col(f"p.sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d._d_sum_{c}"), F.lit(0))
+                )
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    return merged.filter(F.col(count_col) > 0)
+
+
+def refresh_affected_groups(
+    prior: DataFrame,
+    changes: DataFrame,
+    target: DataFrame,
+    group_cols: list[str],
+    agg_fn,
+) -> DataFrame:
+    """Generic incremental refresh for aggregates the delta can't invert
+    (min/max/distinct/top-k): recompute ONLY the groups the changelog
+    touched and patch them into the prior materialization.
+
+    - ``changes``: ``changes_between`` output for the increment. Both
+      images of a group-crossing update appear, so both the source and
+      destination group recompute.
+    - ``target``: the visible table at the target snapshot
+      (``table.read(to_id)``).
+    - ``agg_fn``: DataFrame → grouped aggregate (must group by exactly
+      ``group_cols`` — the same function that bootstrapped ``prior``).
+
+    Shape: affected keys are the distinct group values of the delta
+    (small); they semi-join the target scan — AQE broadcasts them, so
+    the recompute aggregation shuffles only affected-group rows — and
+    anti-join the prior aggregate (O(groups), the MV itself). Groups
+    whose rows all disappeared are dropped by construction (no target
+    rows ⇒ ``agg_fn`` emits nothing ⇒ the anti-join removed the stale
+    row). Null-safe on every join, so a NULL group patches correctly.
+    """
+    affected = changes.select(*group_cols).distinct().alias("k")
+    kept = prior.alias("p").join(
+        affected, _null_safe_on("p", "k", group_cols), "left_anti"
+    )
+    touched_rows = target.alias("t").join(
+        affected, _null_safe_on("t", "k", group_cols), "left_semi"
+    )
+    return kept.unionByName(agg_fn(touched_rows))

@@ -1,0 +1,186 @@
+"""Incremental aggregate maintenance from the changelog (operators/incremental.py).
+
+The invariant under test everywhere: maintaining a materialized aggregate
+by applying ``changes_between`` deltas lands on EXACTLY the from-scratch
+aggregate of the target snapshot — across multi-commit replays, group
+appearance/disappearance, group-crossing updates, and NULL group keys —
+and an inconsistent changelog fails loudly instead of corrupting state.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.lake import ParquetSnapshotTable
+from kafka_plugins_spark.operators.incremental import (
+    apply_count_sum_delta,
+    count_sum_aggregate,
+    refresh_affected_groups,
+)
+from kafka_plugins_spark.operators.resolve import last_writer_wins
+from kafka_plugins_spark.schema import CHANGE_EVENT
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _batch(spark, rows):
+    """rows: (conv_id, role, text, op, offset)."""
+    return spark.createDataFrame(
+        [(cid, 0, role, text, None, TS, op, 0, off) for (cid, role, text, op, off) in rows],
+        CHANGE_EVENT,
+    )
+
+
+def _with_len(df):
+    return df.withColumn("text_len", F.length("text"))
+
+
+def _agg(df):
+    return count_sum_aggregate(_with_len(df), ["role"], ["text_len"])
+
+
+def _as_rows(df):
+    return sorted(
+        (r["role"], r["cnt"], r["sum_text_len"]) for r in df.collect()
+    )
+
+
+def test_delta_apply_tracks_every_snapshot_of_a_replay(spark, events_path, tmp_path):
+    """Maintain the per-role aggregate across EVERY commit of a chunked
+    replay by delta application only; at each snapshot it must equal the
+    from-scratch aggregate of that snapshot's visible table."""
+    from kafka_plugins_spark.replay import replay
+
+    table, res = replay(spark, events_path, str(tmp_path / "t"), chunk_size=400, mode="mor")
+    snaps = [r.snapshot_id for r in res if not r.skipped]
+    assert len(snaps) >= 3
+    mv = _agg(table.read(snaps[0]))
+    for a, b in zip(snaps, snaps[1:]):
+        ch = _with_len(table.changes_between(a, b))
+        mv = apply_count_sum_delta(ch, mv, ["role"], ["text_len"]).localCheckpoint(
+            eager=True
+        )
+        assert _as_rows(mv) == _as_rows(_agg(table.read(b))), (a, b)
+
+
+def test_groups_appear_disappear_and_migrate(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    r1 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [("k1", "user", "aa", "I", 0), ("k2", "user", "b", "I", 1),
+                           ("k3", "agent", "cc", "I", 2)])
+        ),
+        batch_id=0,
+    )
+    # k3's group (agent) disappears; k1 MIGRATES user->tool; k4 opens 'sys'
+    r2 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [("k3", None, None, "D", 3), ("k1", "tool", "aaa", "U", 4),
+                           ("k4", "sys", "d", "I", 5)])
+        ),
+        batch_id=1,
+    )
+    prior = _agg(table.read(r1.snapshot_id))
+    assert _as_rows(prior) == [("agent", 1, 2), ("user", 2, 3)]
+    ch = _with_len(table.changes_between(r1.snapshot_id, r2.snapshot_id))
+    got = apply_count_sum_delta(ch, prior, ["role"], ["text_len"])
+    assert _as_rows(got) == [("sys", 1, 1), ("tool", 1, 3), ("user", 1, 1)]
+    assert _as_rows(got) == _as_rows(_agg(table.read(r2.snapshot_id)))
+
+
+def test_null_group_key_is_one_real_group(spark):
+    """NULL group keys must merge null-safely: the prior NULL bucket and
+    the delta NULL bucket combine into one row, not two (and not zero)."""
+    prior = spark.createDataFrame(
+        [(None, 2, 10), ("en", 1, 5)], "g string, cnt bigint, sum_v bigint"
+    )
+    changes = spark.createDataFrame(
+        [(None, 3, "insert"), (None, 7, "delete"), ("en", 2, "insert")],
+        "g string, v int, _change_type string",
+    )
+    got = sorted(
+        (
+            (r["g"], r["cnt"], r["sum_v"])
+            for r in apply_count_sum_delta(changes, prior, ["g"], ["v"]).collect()
+        ),
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert got == [(None, 2, 6), ("en", 2, 7)]
+
+
+def test_all_null_measure_stays_null(spark):
+    """sum over an all-NULL measure is NULL from scratch; the delta merge
+    must not manufacture a 0 for it."""
+    prior = spark.createDataFrame([("en", 1, None)], "g string, cnt bigint, sum_v bigint")
+    changes = spark.createDataFrame(
+        [("en", None, "insert")], "g string, v int, _change_type string"
+    )
+    [row] = apply_count_sum_delta(changes, prior, ["g"], ["v"]).collect()
+    assert (row["g"], row["cnt"], row["sum_v"]) == ("en", 2, None)
+
+
+def test_inconsistent_changelog_raises(spark):
+    """A delta that removes more rows than the prior ever counted cannot
+    come from a real changelog — consuming the result must raise, not
+    emit a negative or silently-dropped group."""
+    prior = spark.createDataFrame([("en", 1, 5)], "g string, cnt bigint, sum_v bigint")
+    changes = spark.createDataFrame(
+        [("en", 5, "delete"), ("en", 5, "update_before")],
+        "g string, v int, _change_type string",
+    )
+    out = apply_count_sum_delta(changes, prior, ["g"], ["v"])
+    with pytest.raises(Exception, match="count went negative"):
+        out.collect()
+
+
+def test_refresh_affected_groups_handles_min_max(spark, tmp_path):
+    """Deleting a group's current max is invisible to algebraic deltas —
+    the affected-group recompute path must restore the true max, leave
+    untouched groups byte-identical, and drop emptied groups."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    r1 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [("k1", "user", "zz", "I", 0), ("k2", "user", "aa", "I", 1),
+                           ("k3", "agent", "mm", "I", 2), ("k4", "sys", "q", "I", 3)])
+        ),
+        batch_id=0,
+    )
+    # delete user's max ('zz'); empty out 'agent' entirely; 'sys' untouched
+    r2 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [("k1", None, None, "D", 4), ("k3", None, None, "D", 5)])
+        ),
+        batch_id=1,
+    )
+
+    agg_fn = lambda df: df.groupBy("role").agg(
+        F.max("text").alias("max_text"), F.min("text").alias("min_text")
+    )
+    prior = agg_fn(table.read(r1.snapshot_id))
+    ch = table.changes_between(r1.snapshot_id, r2.snapshot_id)
+    got = refresh_affected_groups(
+        prior, ch, table.read(r2.snapshot_id), ["role"], agg_fn
+    )
+    rows = sorted((r["role"], r["max_text"], r["min_text"]) for r in got.collect())
+    assert rows == [("sys", "q", "q"), ("user", "aa", "aa")]
+    want = sorted(
+        (r["role"], r["max_text"], r["min_text"])
+        for r in agg_fn(table.read(r2.snapshot_id)).collect()
+    )
+    assert rows == want
+
+
+def test_delta_apply_plan_is_jvm_only(spark):
+    prior = spark.createDataFrame([("en", 1, 5)], "g string, cnt bigint, sum_v bigint")
+    changes = spark.createDataFrame(
+        [("en", 2, "insert")], "g string, v int, _change_type string"
+    )
+    plan = (
+        apply_count_sum_delta(changes, prior, ["g"], ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
