@@ -226,6 +226,64 @@ def q_cdc_incremental_agg(spark, sf):
     return out
 
 
+def q_cdc_incremental_minmax(spark, sf):
+    """The non-invertible half of incremental MV maintenance,
+    driver-verified: same two-commit MoR ingest as
+    ``q_cdc_incremental_agg``, but the maintained aggregate holds
+    min/max/count-distinct — quantities a delta CANNOT advance
+    algebraically (a deleted row may have held the minimum). The engine
+    bootstraps the aggregate from snapshot 1, then refreshes it to
+    snapshot 2 via ``refresh_affected_groups``: only the groups the
+    changelog touched re-aggregate (affected-keys semi-join on the
+    target scan), everything else is carried over untouched. The oracle
+    re-aggregates the converged state from scratch, so a hash match
+    proves patch-in-place == full recompute, including groups whose
+    minimum-holding row was tombstoned."""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.incremental import refresh_affected_groups
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+
+    def agg_fn(df):
+        return df.groupBy("role").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("text").alias("min_text"),
+            F.max(F.length("text")).alias("max_len"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+
+    cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
+    scratch = tempfile.mkdtemp(prefix="incmm_entry_")
+    table = ParquetSnapshotTable(spark, scratch, mode="mor")
+    r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
+    r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
+    prior = agg_fn(table.read(r1.snapshot_id))
+    out = refresh_affected_groups(
+        prior,
+        table.changes_between(r1.snapshot_id, r2.snapshot_id),
+        table.read(r2.snapshot_id),
+        ["role"],
+        agg_fn,
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def q_cdc_decode_dlq(spark, sf):
     """Dead-letter routing, driver-verified: build a wire frame from the
     events table where user_id%37==0 payloads are corrupted to invalid
@@ -376,6 +434,24 @@ CDC_ORACLES = {
         SELECT role,
                COUNT(*)::BIGINT          AS cnt,
                SUM(length(text))::BIGINT AS sum_text_len
+        FROM final GROUP BY role
+    """,
+    # from-scratch min/max/distinct over the converged state — the
+    # answer the touched-group refresh must patch its way to. The oracle
+    # never sees the snapshot cut or which groups were touched.
+    "cdc_incremental_minmax": """
+        WITH final AS (
+            SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+                   arg_max(event_type, event_id)  AS role,
+                   CAST(max(event_id) AS VARCHAR) AS text
+            FROM events GROUP BY user_id
+            HAVING arg_max(event_type, event_id) <> 'error'
+        )
+        SELECT role,
+               COUNT(*)::BIGINT                 AS cnt,
+               min(text)                        AS min_text,
+               max(length(text))::INT           AS max_len,
+               COUNT(DISTINCT conv_id)::BIGINT  AS n_convs
         FROM final GROUP BY role
     """,
     # the converged state the chunked MoR engine run must reproduce
@@ -1949,6 +2025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "cdc_changelog": q_cdc_changelog,
     "cdc_incremental_agg": q_cdc_incremental_agg,
+    "cdc_incremental_minmax": q_cdc_incremental_minmax,
     "cdc_decode_dlq": q_cdc_decode_dlq,
     "decode_avro_events": q_decode_avro_events,
     "media_byte_histogram": q_media_byte_histogram,
