@@ -133,6 +133,49 @@ def q_cdc_final_state_mor(spark, sf):
     return out
 
 
+def q_cdc_final_state_bucketed(spark, sf):
+    """The engine path in hash-BUCKETED CoW mode, driver-verified: same
+    4-chunk ingest as the MoR row, but each commit reads and rewrites
+    only the buckets containing that chunk's conversations while the
+    manifest carries untouched buckets by reference, and reads resolve
+    with no window (bucket dirs are key-disjoint). The oracle recomputes
+    the converged state relationally — a hash match proves partial
+    rewrites composed across 4 commits land on exactly the single-query
+    answer. This is the file-pruned MERGE shape (Iceberg bucket
+    partition transform) the 100 TB story rides on: a trickle batch
+    rewrites only the buckets it touches."""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    scratch = tempfile.mkdtemp(prefix="bucketed_entry_")
+    table = ParquetSnapshotTable(spark, scratch, mode="bucketed", n_buckets=16)
+    step = hi // 4 + 1
+    for i in range(4):
+        chunk = ce.filter(
+            (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
+        )
+        table.merge_into(last_writer_wins(chunk), batch_id=i)
+    out = table.read().localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def q_cdc_changelog(spark, sf):
     """Incremental changelog read (Iceberg changelog-view / Delta CDF
     semantics), driver-verified end-to-end: ingest the events table into
@@ -453,6 +496,17 @@ CDC_ORACLES = {
                max(length(text))::INT           AS max_len,
                COUNT(DISTINCT conv_id)::BIGINT  AS n_convs
         FROM final GROUP BY role
+    """,
+    # same converged state, reproduced by the bucketed partial-rewrite path
+    "cdc_final_state_bucketed": """
+        SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+               0::INT                         AS turn_idx,
+               arg_max(event_type, event_id)  AS role,
+               CAST(max(event_id) AS VARCHAR) AS text,
+               CAST(NULL AS VARCHAR)          AS tool,
+               arg_max(ts, event_id)          AS ts
+        FROM events GROUP BY user_id
+        HAVING arg_max(event_type, event_id) <> 'error'
     """,
     # the converged state the chunked MoR engine run must reproduce
     "cdc_final_state_mor": """
@@ -2022,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_final_state": q_cdc_final_state,
     "cdc_final_state_mor": q_cdc_final_state_mor,
+    "cdc_final_state_bucketed": q_cdc_final_state_bucketed,
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "cdc_changelog": q_cdc_changelog,
     "cdc_incremental_agg": q_cdc_incremental_agg,

@@ -48,6 +48,12 @@ from kafka_plugins_spark.schema import (
 SNAPSHOT_DIR = "_snapshots"
 LINEAGE_DIR = "_lineage"
 
+#: default bucket count for mode="bucketed" tables. Small-scale default;
+#: size so one bucket ≈ a few GB at the target table size (100 TB → tens
+#: of thousands). Pinned in the snapshot on first commit — reopening with
+#: a different explicit value raises.
+DEFAULT_N_BUCKETS = 16
+
 
 @dataclass
 class CommitResult:
@@ -205,28 +211,47 @@ class ParquetSnapshotTable:
         path: str,
         schema: T.StructType | None = None,
         mode: str | None = None,
+        n_buckets: int | None = None,
     ):
-        if mode not in (None, "cow", "mor"):
-            raise ValueError(f"mode must be 'cow', 'mor', or None (got {mode!r})")
+        if mode not in (None, "cow", "mor", "bucketed"):
+            raise ValueError(
+                f"mode must be 'cow', 'mor', 'bucketed', or None (got {mode!r})"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
         self.base_schema = schema or TRANSCRIPT
         self._mode = mode
+        self._n_buckets = n_buckets
         os.makedirs(os.path.join(self.path, SNAPSHOT_DIR), exist_ok=True)
 
     def _write_mode(self) -> str:
         if self._mode is not None:
             return self._mode
         snap = self.current_snapshot()
-        return "mor" if snap is not None and "data_paths" in snap else "cow"
+        if snap is None:
+            return "cow"
+        if "bucket_paths" in snap:
+            return "bucketed"
+        return "mor" if "data_paths" in snap else "cow"
 
     @staticmethod
     def _snapshot_paths(snap: dict | None) -> list[str]:
         if snap is None:
             return []
+        if snap.get("bucket_paths"):
+            return [p for _, p in sorted(snap["bucket_paths"].items(), key=lambda kv: int(kv[0]))]
         if snap.get("data_paths"):
             return list(snap["data_paths"])
         return [snap["data_path"]] if snap.get("data_path") else []
+
+    @staticmethod
+    def _needs_key_resolve(snap: dict | None, paths: list[str]) -> bool:
+        """Multiple data dirs need per-key LWW resolution ONLY when dirs
+        can overlap on keys (MoR deltas). A bucketed snapshot's dirs hold
+        DISJOINT key sets, each already resolved — reading them is a
+        plain union, no window (the point of bucketing: CoW read cost at
+        O(touched-bucket) write cost)."""
+        return len(paths) > 1 and not (snap or {}).get("bucket_paths")
 
     # --- snapshot bookkeeping ---------------------------------------------
     def _snapshot_files(self) -> list[str]:
@@ -282,7 +307,10 @@ class ParquetSnapshotTable:
     def live_data_dirs(self) -> int:
         """Data dirs the current snapshot reads. For a CoW table this is
         always ≤1; for MoR it is 1 + unfolded deltas — the read
-        amplification the next :meth:`compact` removes. Surfaced in
+        amplification the next :meth:`compact` removes. A bucketed table
+        reads one dir per live bucket, which is NOT amplification (dirs
+        are key-disjoint, no resolve) — maintenance triggers must gate on
+        mode, not this count alone. Surfaced in
         :meth:`LakeConnector.browse` so operators can see a table that
         needs maintenance before reads degrade."""
         return len(self._snapshot_paths(self.current_snapshot()))
@@ -332,7 +360,7 @@ class ParquetSnapshotTable:
         if not paths:
             return self.spark.createDataFrame([], stored)
         raw = self.spark.read.schema(stored).parquet(*paths)
-        if len(paths) == 1:
+        if not self._needs_key_resolve(snap, paths):
             return raw
         w = Window.partitionBy(*KEY_COLUMNS).orderBy(F.desc("_offset"))
         return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -395,12 +423,12 @@ class ParquetSnapshotTable:
         payload = [f.name for f in schema_b.fields]
         stored = _with_system_columns(schema_b)
 
-        def resolved(snap: dict | None) -> DataFrame:
-            paths = self._snapshot_paths(snap)
+        def resolved(snap: dict | None, only_paths: list[str] | None = None) -> DataFrame:
+            paths = self._snapshot_paths(snap) if only_paths is None else only_paths
             if not paths:
                 return self.spark.createDataFrame([], stored)
             raw = self.spark.read.schema(stored).parquet(*paths)
-            if len(paths) == 1:
+            if not self._needs_key_resolve(snap, paths):
                 return raw
             w = Window.partitionBy(*KEY_COLUMNS).orderBy(F.desc("_offset"))
             return (
@@ -409,7 +437,20 @@ class ParquetSnapshotTable:
                 .drop("_rn")
             )
 
-        a, b = resolved(snap_a), resolved(snap_b)
+        # Bucketed file-level pruning: keys only change inside buckets
+        # whose dir differs between the two snapshots (a merge republishes
+        # exactly the touched buckets' manifest entries), so both sides
+        # scan ONLY those dirs — the CoW analogue of the MoR increment
+        # pruning below, and the reason a bucketed changelog read costs
+        # O(touched buckets) instead of O(table).
+        ba = (snap_a or {}).get("bucket_paths")
+        bb = (snap_b or {}).get("bucket_paths")
+        if ba is not None and bb is not None:
+            diff = {k for k in set(ba) | set(bb) if ba.get(k) != bb.get(k)}
+            a = resolved(snap_a, only_paths=sorted(ba[k] for k in diff if k in ba))
+            b = resolved(snap_b, only_paths=sorted(bb[k] for k in diff if k in bb))
+        else:
+            a, b = resolved(snap_a), resolved(snap_b)
 
         # MoR increment pruning: when B's path list extends A's, every
         # change is confined to keys present in the new delta dirs.
@@ -497,6 +538,8 @@ class ParquetSnapshotTable:
         if needs_filter:
             fresh = _drop_delivered(winners, delivered)
         snap_before = self.current_snapshot()
+        if self._write_mode() == "bucketed":
+            return self._merge_bucketed(fresh, batch_id, ranges, delivered, snap_before, t0)
         # Initial load with known ranges — and EVERY MoR commit — runs
         # SINGLE-PASS over the input: the winner set is computed exactly
         # once straight into the write (no persist materialization);
@@ -608,56 +651,217 @@ class ParquetSnapshotTable:
                     return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
                 per_part = self._clip_ranges(per_part, ranges, delivered)
 
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            eff_ranges = {p: (lo, end) for p, (lo, end, _) in per_part.items()}
-            rows_applied = sum(n for (_, _, n) in per_part.values())
-            lineage_rows = [
-                (int(batch_id), p, int(lo), int(end), int(n), wall_ms)
-                for p, (lo, end, n) in sorted(per_part.items())
-            ]
-            # O(partitions) rows — written driver-side (pyarrow), NOT as a
-            # Spark job: a coalesce(1) lineage write costs a whole
-            # single-task stage (~1.4 s) per commit, pure fixed overhead
-            # that never parallelizes.
-            _append_lineage_file(os.path.join(self.path, LINEAGE_DIR), lineage_rows)
-
-            new_delivered = {p: list(iv) for p, iv in delivered.items()}
-            for p, (lo, end, _) in per_part.items():
-                new_delivered[p] = _merge_intervals(
-                    new_delivered.get(p, []) + [(min(lo, ranges.get(p, (lo, end))[0]), end)]
-                )
-            new_wm = {p: iv[-1][1] for p, iv in new_delivered.items()}
-            snapshot = {
-                "snapshot_id": snap_id,
-                "batch_id": int(batch_id),
-                **(
-                    {"data_paths": self._snapshot_paths(snap_before) + [data_path]}
-                    if mor
-                    else {"data_path": data_path}
-                ),
-                "watermarks": {str(k): v for k, v in sorted(new_wm.items())},
-                "delivered": {
-                    str(k): [[a, b] for a, b in iv] for k, iv in sorted(new_delivered.items())
-                },
-                "schema": json.dumps(new_schema.jsonValue()),
-                "lineage": [
-                    {"partition": p, "start_offset": lo, "end_offset": end, "rows": n}
-                    for p, (lo, end, n) in sorted(per_part.items())
-                ],
-                "rows_applied": rows_applied,
-                "wall_ms": wall_ms,
-            }
-            self._commit(snap_id, snapshot)
-            return CommitResult(
-                skipped=False,
-                snapshot_id=snap_id,
-                rows_applied=rows_applied,
-                ranges=eff_ranges,
-                wall_ms=wall_ms,
+            path_fields = (
+                {"data_paths": self._snapshot_paths(snap_before) + [data_path]}
+                if mor
+                else {"data_path": data_path}
+            )
+            return self._finalize_commit(
+                snap_id, path_fields, new_schema, per_part, ranges, delivered, batch_id, t0
             )
         finally:
             if not single_pass:
                 fresh.unpersist()
+
+    def _merge_bucketed(
+        self,
+        fresh: DataFrame,
+        batch_id: int,
+        ranges: dict[int, tuple[int, int]],
+        delivered: dict[int, list[tuple[int, int]]],
+        snap_before: dict | None,
+        t0: float,
+    ) -> CommitResult:
+        """Hash-bucketed copy-on-write merge: stored rows split into
+        ``n_buckets`` dirs by ``pmod(xxhash64(conv_id), n)``; a commit
+        reads and rewrites ONLY the buckets containing a batch key, and
+        the snapshot manifest (``bucket_paths``) carries untouched
+        buckets forward by reference. The middle point of the
+        write-amplification triangle: plain CoW rewrites O(table) per
+        commit and reads clean; MoR writes O(batch) but re-resolves
+        every delta dir at read until compaction; bucketed writes
+        O(touched buckets) and reads clean with NO window resolve
+        (bucket dirs are key-disjoint and internally resolved). At
+        100 TB with ``n_buckets`` sized so one bucket ≈ a few GB, a
+        trickle batch touching 1% of conversations rewrites ~1% of the
+        table — the same file-pruned MERGE shape Iceberg gets from
+        bucket partition transforms (the reference's sink is append-only
+        with no table maintenance at all; KafkaBatchSink provenance in
+        :class:`ParquetSnapshotTable`).
+
+        Buckets hash ``conv_id`` alone, not the full key: a
+        conversation's turns co-locate, so the per-bucket merge never
+        crosses dirs, and the assignment matches the conv_id salting the
+        streaming path uses for hot-conversation skew. xxhash64 is a
+        fixed published algorithm (seed 42 in Spark), so assignments are
+        stable across sessions and versions; ``n_buckets`` is pinned in
+        the snapshot and a conflicting reopen raises.
+        """
+        if snap_before is not None and "bucket_paths" in snap_before:
+            n = int(snap_before["n_buckets"])
+            if self._n_buckets is not None and self._n_buckets != n:
+                raise ValueError(
+                    f"table was bucketed with n_buckets={n}; cannot reopen with "
+                    f"n_buckets={self._n_buckets} (bucket assignment must be stable)"
+                )
+        else:
+            n = self._n_buckets or DEFAULT_N_BUCKETS
+        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            per_part = {
+                int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
+                for r in fresh.groupBy("partition")
+                .agg(
+                    F.min("offset").alias("lo"),
+                    F.max("offset").alias("hi"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            }
+            if not per_part:
+                return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+            per_part = self._clip_ranges(per_part, ranges, delivered)
+
+            incoming_payload = T.StructType(
+                [f for f in fresh.schema.fields if f.name not in ENVELOPE_COLUMNS]
+            )
+            new_schema = merge_schemas(self._schema_of(snap_before), incoming_payload)
+            stored_schema = _with_system_columns(new_schema)
+            bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+
+            def align(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in stored_schema.fields
+                    ]
+                )
+
+            batch_rows = align(
+                fresh.withColumnsRenamed(
+                    {"op": "_op", "partition": "_partition", "offset": "_offset"}
+                )
+            )
+            # O(n_buckets) driver rows — the manifest diff that makes the
+            # rewrite partial.
+            touched = sorted(
+                int(r["_b"])
+                for r in batch_rows.select(bucket_of.alias("_b")).distinct().collect()
+            )
+            manifest: dict[str, str] = dict((snap_before or {}).get("bucket_paths", {}))
+            prior_paths = [manifest[str(b)] for b in touched if str(b) in manifest]
+            if prior_paths:
+                # old bucket files read under their OWN stored schema, then
+                # aligned — columns added by this batch surface as nulls
+                # (writer-side evolution for touched buckets; untouched
+                # buckets evolve reader-side like MoR deltas).
+                prior = align(
+                    self.spark.read.schema(
+                        _with_system_columns(self._schema_of(snap_before))
+                    ).parquet(*prior_paths)
+                )
+                in_order = bool(ranges) and all(
+                    not delivered.get(p) or lo >= delivered[p][-1][1]
+                    for p, (lo, _) in ranges.items()
+                )
+                if in_order:
+                    merged = prior.join(
+                        batch_rows.select(*KEY_COLUMNS), KEY_COLUMNS, "left_anti"
+                    ).unionByName(batch_rows)
+                else:
+                    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+                    env = {"_op": "op", "_partition": "partition", "_offset": "offset"}
+                    combined = prior.withColumnsRenamed(env).unionByName(
+                        batch_rows.withColumnsRenamed(env)
+                    )
+                    merged = last_writer_wins(combined).withColumnsRenamed(
+                        {v: k for k, v in env.items()}
+                    )
+            else:
+                merged = batch_rows
+
+            snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1
+            data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+            merged.withColumn("_bucket", bucket_of).write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(data_path)
+            for b in touched:
+                bdir = os.path.join(data_path, f"_bucket={b}")
+                if os.path.isdir(bdir):
+                    manifest[str(b)] = bdir
+                else:
+                    manifest.pop(str(b), None)
+            return self._finalize_commit(
+                snap_id,
+                {"bucket_paths": manifest, "n_buckets": n},
+                new_schema,
+                per_part,
+                ranges,
+                delivered,
+                batch_id,
+                t0,
+            )
+        finally:
+            fresh.unpersist()
+
+    def _finalize_commit(
+        self,
+        snap_id: int,
+        path_fields: dict,
+        new_schema: T.StructType,
+        per_part: dict[int, tuple[int, int, int]],
+        ranges: dict[int, tuple[int, int]],
+        delivered: dict[int, list[tuple[int, int]]],
+        batch_id: int,
+        t0: float,
+    ) -> CommitResult:
+        """Shared commit tail for every write mode: lineage append
+        (driver-side pyarrow — a coalesce(1) Spark write costs a whole
+        single-task stage per commit), delivered-interval merge, snapshot
+        publish. ``path_fields`` carries the mode-specific data-layout
+        keys (``data_path`` / ``data_paths`` / ``bucket_paths``)."""
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        eff_ranges = {p: (lo, end) for p, (lo, end, _) in per_part.items()}
+        rows_applied = sum(n for (_, _, n) in per_part.values())
+        lineage_rows = [
+            (int(batch_id), p, int(lo), int(end), int(n), wall_ms)
+            for p, (lo, end, n) in sorted(per_part.items())
+        ]
+        _append_lineage_file(os.path.join(self.path, LINEAGE_DIR), lineage_rows)
+
+        new_delivered = {p: list(iv) for p, iv in delivered.items()}
+        for p, (lo, end, _) in per_part.items():
+            new_delivered[p] = _merge_intervals(
+                new_delivered.get(p, []) + [(min(lo, ranges.get(p, (lo, end))[0]), end)]
+            )
+        new_wm = {p: iv[-1][1] for p, iv in new_delivered.items()}
+        snapshot = {
+            "snapshot_id": snap_id,
+            "batch_id": int(batch_id),
+            **path_fields,
+            "watermarks": {str(k): v for k, v in sorted(new_wm.items())},
+            "delivered": {
+                str(k): [[a, b] for a, b in iv] for k, iv in sorted(new_delivered.items())
+            },
+            "schema": json.dumps(new_schema.jsonValue()),
+            "lineage": [
+                {"partition": p, "start_offset": lo, "end_offset": end, "rows": n}
+                for p, (lo, end, n) in sorted(per_part.items())
+            ],
+            "rows_applied": rows_applied,
+            "wall_ms": wall_ms,
+        }
+        self._commit(snap_id, snapshot)
+        return CommitResult(
+            skipped=False,
+            snapshot_id=snap_id,
+            rows_applied=rows_applied,
+            ranges=eff_ranges,
+            wall_ms=wall_ms,
+        )
 
     @staticmethod
     def _clip_ranges(
@@ -699,8 +903,29 @@ class ParquetSnapshotTable:
         )
         snap_id = snap["snapshot_id"] + 1
         data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
-        compacted.write.mode("overwrite").parquet(data_path)
         new_snap = dict(snap)
+        if "bucket_paths" in snap:
+            # bucketed compaction keeps the layout: rewrite every bucket
+            # without tombstones and republish the full manifest (dead
+            # tombstone weight is the only thing compaction removes here —
+            # there are no deltas to fold).
+            n = int(snap["n_buckets"])
+            bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+            compacted.withColumn("_bucket", bucket_of).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(data_path)
+            new_snap["bucket_paths"] = {
+                name.split("=", 1)[1]: os.path.join(data_path, name)
+                for name in sorted(os.listdir(data_path))
+                if name.startswith("_bucket=")
+            }
+        else:
+            compacted.write.mode("overwrite").parquet(data_path)
+            if "data_paths" in new_snap:
+                new_snap["data_paths"] = [data_path]
+                new_snap.pop("data_path", None)
+            else:
+                new_snap["data_path"] = data_path
         new_snap.update(
             snapshot_id=snap_id,
             lineage=[],
@@ -708,11 +933,6 @@ class ParquetSnapshotTable:
             wall_ms=int((time.monotonic() - t0) * 1000),
             compaction=True,
         )
-        if "data_paths" in new_snap:
-            new_snap["data_paths"] = [data_path]
-            new_snap.pop("data_path", None)
-        else:
-            new_snap["data_path"] = data_path
         self._commit(snap_id, new_snap)
         return CommitResult(skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"])
 
@@ -761,10 +981,19 @@ class ParquetSnapshotTable:
         d = os.path.join(self.path, SNAPSHOT_DIR)
         for f in keep:
             with open(os.path.join(d, f)) as fh:
-                live.update(
-                    os.path.basename(os.path.normpath(p))
-                    for p in self._snapshot_paths(json.load(fh))
-                )
+                for p in self._snapshot_paths(json.load(fh)):
+                    q = os.path.normpath(p)
+                    base = os.path.basename(q)
+                    # a bucketed manifest references data/snap-N/_bucket=B;
+                    # liveness is tracked at the top-level snap dir, so one
+                    # live bucket keeps its whole snap dir (sibling buckets
+                    # superseded later are dead weight until their snap dir
+                    # ages out entirely — correctness over eagerness).
+                    live.add(
+                        os.path.basename(os.path.dirname(q))
+                        if base.startswith("_bucket=")
+                        else base
+                    )
         removed_dirs = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):

@@ -166,8 +166,13 @@ def start_ingest_stream(
             res = table.merge_into(winners, batch_id=batch_id, ranges=ranges)
             res.wall_ms = int((time.monotonic() - t0) * 1000)
             stream.commits.append(res)
+            # MoR only: its dir count IS read amplification. A bucketed
+            # table legitimately reads n_buckets dirs with no resolution
+            # cost — compacting on that count would rewrite the whole
+            # table every batch; a CoW table never exceeds 1 dir.
             if (
                 auto_compact_every is not None
+                and table._write_mode() == "mor"
                 and table.live_data_dirs() >= auto_compact_every
             ):
                 stream.compactions.append(table.compact())

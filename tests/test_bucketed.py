@@ -1,0 +1,212 @@
+"""Bucketed copy-on-write merge: the middle point of the
+write-amplification triangle (CoW rewrites O(table), MoR defers
+resolution to read, bucketed rewrites O(touched buckets) and reads
+clean). Every guarantee the CoW/MoR paths carry must hold here too —
+converged state, fence idempotence, out-of-order LWW, schema evolution,
+changelog semantics (the parametrized tests in test_lake.py cover the
+changelog half) — plus the mode's own contract: untouched buckets are
+carried by reference, reads resolve without a window, and the changelog
+scan touches only differing bucket dirs.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.lake import ParquetSnapshotTable
+from kafka_plugins_spark.operators.resolve import last_writer_wins
+from kafka_plugins_spark.replay import replay
+from tests.test_lake import _batch
+from tests.util import assert_tables_equal, duckdb_final_state
+
+
+def test_bucketed_replay_matches_oracle_and_other_modes(spark, events_path, tmp_path):
+    tb, _ = replay(spark, events_path, str(tmp_path / "b"), chunk_size=150, mode="bucketed")
+    oracle = duckdb_final_state(events_path)
+    assert_tables_equal(tb.read().toPandas(), oracle)
+    tc, _ = replay(spark, events_path, str(tmp_path / "c"), chunk_size=150, mode="cow")
+    assert_tables_equal(tb.read().toPandas(), tc.read().toPandas())
+
+
+def test_bucketed_partial_rewrite_reuses_untouched_dirs(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    r1 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"k{i}", "user", f"t{i}", "I", i) for i in range(40)])
+        ),
+        batch_id=0,
+    )
+    m1 = table.current_snapshot()["bucket_paths"]
+    # second commit touches exactly one conversation → one bucket
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k3", "user", "t3v2", "U", 100)])),
+        batch_id=1,
+    )
+    m2 = table.current_snapshot()["bucket_paths"]
+    changed = {b for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)}
+    assert len(changed) == 1, f"one touched conv must rewrite one bucket, got {changed}"
+    reused = {b for b in m1 if m2.get(b) == m1[b]}
+    assert len(reused) == len(m1) - 1
+    # untouched entries literally point into the snap-1 dir (by reference)
+    assert all(f"snap-{r1.snapshot_id:06d}" in m2[b] for b in reused)
+    (tb,) = changed
+    assert f"snap-{r2.snapshot_id:06d}" in m2[tb]
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got["k3"] == "t3v2" and len(got) == 40
+
+
+def test_bucketed_read_plan_has_no_window(spark, tmp_path):
+    """Bucket dirs are key-disjoint and internally resolved, so the read
+    is a plain union scan — no row_number window exchange (the MoR read
+    amplification this mode exists to avoid)."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user", "x", "I", i) for i in range(20)])),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "y", "U", 50)])), batch_id=1
+    )
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_bucketed_fence_idempotent_replay(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    winners = last_writer_wins(
+        _batch(spark, [("k1", "user", "a", "I", 0), ("k2", "user", "b", "I", 1)])
+    )
+    r1 = table.merge_into(winners, batch_id=0)
+    assert not r1.skipped
+    r2 = table.merge_into(winners, batch_id=0)
+    assert r2.skipped
+    assert table.current_snapshot()["snapshot_id"] == r1.snapshot_id
+
+
+def test_bucketed_out_of_order_batches_resolve_lww(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    # the HIGHER offset range lands first; the earlier range must not win
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "new", "U", 10)])), batch_id=1
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "old", "I", 2)])), batch_id=0
+    )
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new"
+
+
+def test_bucketed_delete_then_no_resurrection(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a", "I", 5), ("k2", "user", "b", "I", 6)])),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", None, None, "D", 10)])), batch_id=1
+    )
+    # late lower-offset re-insert for the deleted key must NOT resurrect it
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "stale", "I", 3)])), batch_id=2
+    )
+    got = {r["conv_id"] for r in table.read().collect()}
+    assert got == {"k2"}
+
+
+def test_bucketed_compact_drops_tombstones_keeps_layout(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user", "x", "I", i) for i in range(10)])),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", None, None, "D", 50)])), batch_id=1
+    )
+    before = table.read().orderBy("conv_id").collect()
+    table.compact()
+    snap = table.current_snapshot()
+    assert "bucket_paths" in snap and snap["compaction"]
+    assert table.read().orderBy("conv_id").collect() == before
+    # tombstone physically gone: full scan has no op='D' rows
+    full = table._read_full()
+    assert full.filter(F.col("_op") == "D").count() == 0
+
+
+def test_bucketed_changelog_scans_only_touched_buckets(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    r1 = table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"k{i}", "user", f"t{i}", "I", i) for i in range(40)])
+        ),
+        batch_id=0,
+    )
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k3", "user", "t3v2", "U", 100)])), batch_id=1
+    )
+    ch = table.changes_between(r1.snapshot_id, r2.snapshot_id)
+    rows = sorted((r["conv_id"], r["_change_type"]) for r in ch.collect())
+    assert rows == [("k3", "update_after"), ("k3", "update_before")]
+    # file-level pruning: every scanned file lives in a differing bucket dir
+    m1 = table.snapshot_by_id(r1.snapshot_id)["bucket_paths"]
+    m2 = table.snapshot_by_id(r2.snapshot_id)["bucket_paths"]
+    diff_dirs = {m.get(b) for m in (m1, m2) for b in m if m1.get(b) != m2.get(b)}
+    diff_dirs.discard(None)
+    scanned = set(ch.inputFiles())
+    assert scanned, "changelog read must scan the differing buckets"
+    for f in scanned:
+        assert any(d in f for d in diff_dirs), f"scanned outside touched buckets: {f}"
+
+
+def test_bucketed_expire_keeps_referenced_old_buckets(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"k{i}", "user", f"t{i}", "I", i) for i in range(40)])
+        ),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k3", "user", "t3v2", "U", 100)])), batch_id=1
+    )
+    table.expire_snapshots(keep_last=1)
+    # current manifest still references snap-0 dirs for untouched buckets —
+    # they must survive GC, and the table must still read fully
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert len(got) == 40 and got["k3"] == "t3v2"
+    for p in table.current_snapshot()["bucket_paths"].values():
+        assert os.path.isdir(p), f"GC deleted a live bucket dir: {p}"
+
+
+def test_bucketed_n_buckets_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    table = ParquetSnapshotTable(spark, path, mode="bucketed", n_buckets=4)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a", "I", 0)])), batch_id=0
+    )
+    reopened = ParquetSnapshotTable(spark, path, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        reopened.merge_into(
+            last_writer_wins(_batch(spark, [("k2", "user", "b", "I", 1)])), batch_id=1
+        )
+    # reopening WITHOUT an explicit n_buckets adopts the pinned value
+    adopted = ParquetSnapshotTable(spark, path)
+    r = adopted.merge_into(
+        last_writer_wins(_batch(spark, [("k2", "user", "b", "I", 1)])), batch_id=1
+    )
+    assert not r.skipped and adopted.current_snapshot()["n_buckets"] == 4
+
+
+def test_bucketed_rollback_reverts_manifest_and_fence(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a", "I", 0)])), batch_id=0
+    )
+    b2 = last_writer_wins(_batch(spark, [("k2", "user", "b", "I", 1)]))
+    table.merge_into(b2, batch_id=1)
+    table.rollback_to(r1.snapshot_id)
+    assert {r["conv_id"] for r in table.read().collect()} == {"k1"}
+    # fence reverted with the data: re-ingesting batch 2 re-applies
+    r3 = table.merge_into(b2, batch_id=1)
+    assert not r3.skipped
+    assert {r["conv_id"] for r in table.read().collect()} == {"k1", "k2"}

@@ -271,7 +271,7 @@ def _changes(table, a, b):
     return sorted((r["conv_id"], r["_change_type"], r["text"]) for r in rows)
 
 
-@pytest.mark.parametrize("mode", ["cow", "mor"])
+@pytest.mark.parametrize("mode", ["cow", "mor", "bucketed"])
 def test_changelog_classifies_insert_update_delete(spark, tmp_path, mode):
     table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
     r1 = table.merge_into(
@@ -352,7 +352,7 @@ def test_changelog_applies_to_prior_snapshot(spark, events_path, tmp_path):
     assert srt(patched).equals(srt(after))
 
 
-@pytest.mark.parametrize("mode", ["cow", "mor"])
+@pytest.mark.parametrize("mode", ["cow", "mor", "bucketed"])
 def test_changelog_schema_evolution_is_update(spark, tmp_path, mode):
     """A later commit that only populates a newly-added column must
     classify as an update pair (old image carries NULL for the new

@@ -344,3 +344,39 @@ def test_stream_wire_dlq_quarantines_and_fences(spark, tmp_path):
             spark, file_event_source(spark, watch, schema), table_path,
             str(tmp_path / "ckpt4"), wire=True,
         )
+
+
+def test_stream_bucketed_mode_converges_no_spurious_compaction(spark, staged, tmp_path):
+    """Streaming into a bucketed table: micro-batches rewrite only
+    touched buckets; the auto-compact trigger must NOT misread the
+    n_buckets dir count as MoR read amplification (it would rewrite the
+    whole table every batch); final state matches the oracle."""
+    watch = str(tmp_path / "watch")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(f"{staged['full']}/drop1").schema
+
+    _stage(f"{staged['full']}/drop1", watch)
+    s1 = start_ingest_stream(
+        spark,
+        file_event_source(spark, watch, schema),
+        table_path,
+        ckpt,
+        mode="bucketed",
+        auto_compact_every=4,
+    )
+    s1.await_and_stop()
+    _stage(f"{staged['full']}/drop2", watch)
+    s2 = start_ingest_stream(
+        spark,
+        file_event_source(spark, watch, schema),
+        table_path,
+        ckpt,
+        mode="bucketed",
+        auto_compact_every=4,
+    )
+    s2.await_and_stop()
+    assert not s1.compactions and not s2.compactions
+    table = s2.table
+    assert "bucket_paths" in table.current_snapshot()
+    assert_tables_equal(table.read().toPandas(), duckdb_final_state(staged["oracle"]))
