@@ -785,9 +785,20 @@ class ParquetSnapshotTable:
 
             snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1
             data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
-            merged.withColumn("_bucket", bucket_of).write.mode("overwrite").partitionBy(
-                "_bucket"
-            ).parquet(data_path)
+            # repartition by _bucket BEFORE partitionBy: without it every
+            # shuffle task writes one file into every bucket dir it holds
+            # rows for (tasks × buckets small files — measured 6× size
+            # bloat from parquet per-file overhead at bench scale). With
+            # it each bucket is one task's contiguous write. Write
+            # parallelism = touched buckets; size n_buckets so a bucket
+            # is a few GB and that is exactly the parallelism you want.
+            (
+                merged.withColumn("_bucket", bucket_of)
+                .repartition(max(len(touched), 1), F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(data_path)
+            )
             for b in touched:
                 bdir = os.path.join(data_path, f"_bucket={b}")
                 if os.path.isdir(bdir):
@@ -911,9 +922,13 @@ class ParquetSnapshotTable:
             # there are no deltas to fold).
             n = int(snap["n_buckets"])
             bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
-            compacted.withColumn("_bucket", bucket_of).write.mode(
-                "overwrite"
-            ).partitionBy("_bucket").parquet(data_path)
+            (
+                compacted.withColumn("_bucket", bucket_of)
+                .repartition(n, F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(data_path)
+            )
             new_snap["bucket_paths"] = {
                 name.split("=", 1)[1]: os.path.join(data_path, name)
                 for name in sorted(os.listdir(data_path))
