@@ -339,6 +339,45 @@ class ParquetSnapshotTable:
             .select(*payload)
         )
 
+    def read_key(self, conv_id: str, snapshot_id: int | None = None) -> DataFrame:
+        """Point lookup: every visible turn of one conversation. On a
+        bucketed table this scans ONE bucket dir — the manifest prunes
+        the other ``n_buckets − 1`` before Spark ever lists a file, so a
+        point read against a 100 TB table touches a few GB. On cow/mor
+        snapshots it degrades to ``read().filter(...)`` (full scan; the
+        parquet row-group min/max on conv_id still prunes most pages).
+
+        The bucket id is computed by a one-row Spark job with the SAME
+        expression the writer used — never a Python reimplementation of
+        xxhash64, whose silent divergence would make lookups read the
+        wrong bucket and return empty for keys that exist.
+        """
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
+        )
+        base = None
+        if snap is not None and snap.get("bucket_paths"):
+            n = int(snap["n_buckets"])
+            b = (
+                self.spark.range(1)
+                .select(F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(n)).cast("int"))
+                .collect()[0][0]
+            )
+            path = snap["bucket_paths"].get(str(b))
+            if path is None:  # bucket never written → key cannot exist
+                return self.spark.createDataFrame([], self._schema_of(snap))
+            stored = _with_system_columns(self._schema_of(snap))
+            payload = [f.name for f in self._schema_of(snap).fields]
+            base = (
+                self.spark.read.schema(stored)
+                .parquet(path)
+                .filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
+                .select(*payload)
+            )
+        if base is None:
+            base = self.read(snapshot_id)
+        return base.filter(F.col("conv_id") == conv_id)
+
     def _read_full(self, snap: dict | None = None) -> DataFrame:
         """Stored rows incl. tombstones + system columns (merge input).
 

@@ -210,3 +210,28 @@ def test_bucketed_rollback_reverts_manifest_and_fence(spark, tmp_path):
     r3 = table.merge_into(b2, batch_id=1)
     assert not r3.skipped
     assert {r["conv_id"] for r in table.read().collect()} == {"k1", "k2"}
+
+
+def test_bucketed_point_lookup_scans_one_bucket(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"k{i}", "user", f"t{i}", "I", i) for i in range(40)])
+        ),
+        batch_id=0,
+    )
+    df = table.read_key("k7")
+    rows = df.collect()
+    assert [(r["conv_id"], r["text"]) for r in rows] == [("k7", "t7")]
+    # manifest pruning: only the one bucket dir was ever listed
+    dirs = {os.path.dirname(f) for f in df.inputFiles()}
+    assert len(dirs) == 1 and "_bucket=" in dirs.pop()
+    # a key in a never-written bucket (or absent) returns empty, no error
+    assert table.read_key("no-such-conv").count() == 0
+    # tombstoned keys are invisible to lookups too
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k7", None, None, "D", 100)])), batch_id=1
+    )
+    assert table.read_key("k7").count() == 0
+    # cow fallback returns the same answer shape
+    assert table.read_key("k6").collect()[0]["text"] == "t6"
