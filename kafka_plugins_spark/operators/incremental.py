@@ -34,7 +34,11 @@ the NULL bucket.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from functools import reduce
+from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -177,3 +181,107 @@ def refresh_affected_groups(
         affected, _null_safe_on("t", "k", group_cols), "left_semi"
     )
     return kept.unionByName(agg_fn(touched_rows))
+
+
+class MaintainedCountSum:
+    """A PERSISTED count/sum materialized view over a snapshot table,
+    advanced incrementally after each ingest commit — the production
+    composition of the two halves above: ``start_ingest_stream`` (or
+    ``replay``) lands commits, then :meth:`advance` folds exactly the
+    changelog delta into the stored aggregate. The base table is read
+    once ever (bootstrap); every later refresh costs O(|delta|).
+
+    Layout under ``path``: one dir per reflected table snapshot,
+    ``state-<snapshot_id>/`` containing the aggregate parquet, published
+    with write-to-temp + atomic ``os.rename`` — a crash mid-advance
+    leaves only a ``.tmp-`` dir (ignored and cleaned on the next
+    advance) and the previous state intact, so re-running ``advance``
+    after any failure converges to the same bytes (determinism comes
+    from the delta algebra; idempotence from republishing per target
+    snapshot id). ``delta_applied`` in the returned info distinguishes
+    the O(|delta|) path from bootstrap, so tests and operators can
+    assert the base table was not re-read. Exactly-once consumption
+    needs no extra fencing: the table's snapshot id IS the cursor, and
+    both it and the state publish are atomic.
+
+    Single-maintainer contract (like the table's single-writer): two
+    concurrent ``advance`` calls may race the same target rename — the
+    loser's rename fails loudly on the existing dir rather than
+    corrupting state.
+
+    ``prepare`` projects derived measure columns (e.g. a length) onto
+    both the bootstrap read and every delta before aggregation — it must
+    be deterministic and row-local.
+    """
+
+    def __init__(
+        self,
+        table,
+        path: str,
+        group_cols: list[str],
+        sum_cols: list[str],
+        prepare: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.table = table
+        self.spark = table.spark
+        self.path = path.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.prepare = prepare or (lambda df: df)
+        os.makedirs(self.path, exist_ok=True)
+
+    # --- state bookkeeping -------------------------------------------------
+    def _states(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("state-"):
+                out.append(int(name.split("-", 1)[1]))
+        return sorted(out)
+
+    def _state_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, f"state-{snapshot_id:06d}")
+
+    def as_of(self) -> int | None:
+        """Table snapshot id the stored aggregate currently reflects."""
+        states = self._states()
+        return states[-1] if states else None
+
+    def read(self) -> DataFrame:
+        """The maintained aggregate (empty-schema error if never advanced)."""
+        asof = self.as_of()
+        if asof is None:
+            raise ValueError("MaintainedCountSum has no state yet — call advance()")
+        return self.spark.read.parquet(self._state_dir(asof))
+
+    # --- the refresh -------------------------------------------------------
+    def advance(self, keep_last: int = 2) -> dict:
+        """Fold table commits since the last reflected snapshot into the
+        stored aggregate. No-op if already current. Returns
+        ``{"as_of", "delta_applied", "bootstrapped"}``."""
+        snap = self.table.current_snapshot()
+        if snap is None:
+            return {"as_of": None, "delta_applied": False, "bootstrapped": False}
+        target = int(snap["snapshot_id"])
+        asof = self.as_of()
+        if asof == target:
+            return {"as_of": target, "delta_applied": False, "bootstrapped": False}
+        if asof is None:
+            new = count_sum_aggregate(
+                self.prepare(self.table.read(target)), self.group_cols, self.sum_cols
+            )
+            bootstrapped, delta_applied = True, False
+        else:
+            delta = self.prepare(self.table.changes_between(asof, target))
+            prior = self.spark.read.parquet(self._state_dir(asof))
+            new = apply_count_sum_delta(delta, prior, self.group_cols, self.sum_cols)
+            bootstrapped, delta_applied = False, True
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        new.write.parquet(tmp)
+        final = self._state_dir(target)
+        os.rename(tmp, final)  # atomic publish; fails loudly if racing
+        for name in os.listdir(self.path):  # GC stale tmp dirs + old states
+            if name.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        for old in self._states()[:-keep_last]:
+            shutil.rmtree(self._state_dir(old), ignore_errors=True)
+        return {"as_of": target, "delta_applied": delta_applied, "bootstrapped": bootstrapped}

@@ -184,3 +184,116 @@ def test_delta_apply_plan_is_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- persisted maintained view (MaintainedCountSum) -----------------------
+
+
+def test_maintained_view_bootstrap_advance_noop(spark, tmp_path):
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "aaa", "I", 0),
+                                        ("k2", "asst", "bb", "I", 1)])),
+        batch_id=0,
+    )
+    mv = MaintainedCountSum(
+        table, str(tmp_path / "mv"), ["role"], ["text_len"], prepare=_with_len
+    )
+    info = mv.advance()
+    assert info["bootstrapped"] and not info["delta_applied"]
+    # already current → no-op, no new state dir
+    assert mv.advance() == {"as_of": info["as_of"], "delta_applied": False,
+                            "bootstrapped": False}
+
+    # two more commits (update + delete + new group), ONE advance folds both
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "aaaaa", "U", 10),
+                                        ("k3", "tool", "cccc", "I", 11)])),
+        batch_id=1,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k2", None, None, "D", 20)])), batch_id=2
+    )
+    info2 = mv.advance()
+    assert info2["delta_applied"] and not info2["bootstrapped"]
+    got = {r["role"]: (r["cnt"], r["sum_text_len"]) for r in mv.read().collect()}
+    want = {r["role"]: (r["cnt"], r["sum_text_len"])
+            for r in _agg(table.read()).collect()}
+    assert got == want, "O(delta) maintenance must equal from-scratch"
+    assert "asst" not in got  # group dropped to zero disappears
+
+
+def test_maintained_view_crash_tmp_is_ignored_and_cleaned(spark, tmp_path):
+    import os
+
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "aaa", "I", 0)])), batch_id=0
+    )
+    mvp = str(tmp_path / "mv")
+    mv = MaintainedCountSum(table, mvp, ["role"], ["text_len"], prepare=_with_len)
+    mv.advance()
+    state_before = sorted(os.listdir(mvp))
+    # simulate a crash mid-advance: a leftover .tmp- dir
+    os.makedirs(os.path.join(mvp, ".tmp-deadbeef/x"), exist_ok=True)
+    assert mv.as_of() is not None and mv.read().count() == 1  # tmp invisible
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k2", "user", "bb", "I", 5)])), batch_id=1
+    )
+    info = mv.advance()
+    assert info["delta_applied"]
+    names = os.listdir(mvp)
+    assert not any(n.startswith(".tmp-") for n in names), "tmp dirs cleaned"
+    got = {r["role"]: r["cnt"] for r in mv.read().collect()}
+    assert got == {"user": 2}
+    assert sorted(n for n in names if n.startswith("state-")) != state_before
+
+
+def test_maintained_view_after_streaming_ingest(spark, tmp_path):
+    """The composition the class exists for: stream → commits land →
+    advance folds the changelog; repeated across two file drops."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_plugins_spark.datagen import generate_events
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+    from kafka_plugins_spark.streaming.pipeline import (
+        file_event_source,
+        start_ingest_stream,
+    )
+
+    df = generate_events(spark, n_conversations=60, n_partitions=4, seed=23)
+    full = str(tmp_path / "full")
+    df.filter(F.col("offset") < 300).coalesce(2).write.parquet(f"{full}/drop1")
+    df.filter(F.col("offset") >= 300).coalesce(2).write.parquet(f"{full}/drop2")
+    watch, tpath, ckpt = (str(tmp_path / d) for d in ("watch", "table", "ckpt"))
+    schema = spark.read.parquet(f"{full}/drop1").schema
+
+    def stage(drop):
+        os.makedirs(watch, exist_ok=True)
+        for f in glob.glob(f"{drop}/*.parquet"):
+            shutil.copy(f, watch)
+
+    mv = None
+    for drop in (f"{full}/drop1", f"{full}/drop2"):
+        stage(drop)
+        s = start_ingest_stream(
+            spark, file_event_source(spark, watch, schema), tpath, ckpt, mode="mor"
+        )
+        s.await_and_stop()
+        if mv is None:
+            mv = MaintainedCountSum(
+                s.table, str(tmp_path / "mv"), ["role"], ["text_len"], prepare=_with_len
+            )
+        info = mv.advance()
+        assert info["as_of"] == s.table.current_snapshot()["snapshot_id"]
+    assert info["delta_applied"] and not info["bootstrapped"]
+    got = {r["role"]: (r["cnt"], r["sum_text_len"]) for r in mv.read().collect()}
+    want = {r["role"]: (r["cnt"], r["sum_text_len"])
+            for r in _agg(mv.table.read()).collect()}
+    assert got == want
