@@ -38,6 +38,7 @@ sys.path.insert(0, REPO)
 BENCH_QUERIES = [
     "cdc_lww",
     "cdc_final_state",
+    "cdc_final_state_bucketed",
     "pricing_summary",
     "nation_volume",
     "top_orders_per_customer",

@@ -831,9 +831,15 @@ class ParquetSnapshotTable:
             # it each bucket is one task's contiguous write. Write
             # parallelism = touched buckets; size n_buckets so a bucket
             # is a few GB and that is exactly the parallelism you want.
+            # sortWithinPartitions after the bucket repartition: rows land
+            # in the parquet files ordered by key, so row-group min/max
+            # stats on conv_id are tight — read_key and future merges
+            # prune row groups inside the bucket, not just the bucket
+            # dir. Task-local sort, no extra exchange.
             (
                 merged.withColumn("_bucket", bucket_of)
                 .repartition(max(len(touched), 1), F.col("_bucket"))
+                .sortWithinPartitions("_bucket", *KEY_COLUMNS)
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(data_path)
@@ -964,6 +970,7 @@ class ParquetSnapshotTable:
             (
                 compacted.withColumn("_bucket", bucket_of)
                 .repartition(n, F.col("_bucket"))
+                .sortWithinPartitions("_bucket", *KEY_COLUMNS)
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(data_path)
@@ -1303,9 +1310,17 @@ class IcebergMergeBackend:
         shape; run ``rewrite_data_files``/``rewrite_position_delete_files``
         maintenance like ParquetSnapshotTable.compact); ``cow`` →
         copy-on-write rewrites (read-heavy tables / one-shot backfills).
+        ``bucketed`` → copy-on-write MERGE over a
+        ``bucket(n, conv_id)`` partition spec (see
+        :meth:`recommended_partitioning`): Iceberg prunes the MERGE's
+        target-side scan and rewrite to the buckets containing source
+        keys — the real-cluster rendition of the sandbox
+        ``mode="bucketed"`` manifest (BENCH/bucketed.md measures the
+        write-amplification triangle the three modes span).
+
         Apply at CREATE TABLE or via ALTER TABLE SET TBLPROPERTIES."""
-        if mode not in ("cow", "mor"):
-            raise ValueError(f"mode must be 'cow' or 'mor' (got {mode!r})")
+        if mode not in ("cow", "mor", "bucketed"):
+            raise ValueError(f"mode must be 'cow', 'mor', or 'bucketed' (got {mode!r})")
         level = "merge-on-read" if mode == "mor" else "copy-on-write"
         return {
             "format-version": "2",
@@ -1313,6 +1328,23 @@ class IcebergMergeBackend:
             "write.update.mode": level,
             "write.delete.mode": level,
         }
+
+    @staticmethod
+    def recommended_partitioning(mode: str = "mor", n_buckets: int = 1024) -> str:
+        """``PARTITIONED BY`` clause for CREATE TABLE, matching the
+        sandbox write modes. ``bucketed`` uses Iceberg's bucket transform
+        on ``conv_id`` — same hash-partition idea as the sandbox
+        manifest, executed by Iceberg's own planner: a MERGE whose source
+        keys fall in k buckets rewrites only those buckets' files. Size
+        ``n_buckets`` so one bucket ≈ a few GB at the target table size
+        (100 TB → tens of thousands). ``cow``/``mor`` partition by the
+        Kafka partition column, keeping per-partition offset locality for
+        the fence's lineage scans."""
+        if mode == "bucketed":
+            return f"PARTITIONED BY (bucket({int(n_buckets)}, conv_id))"
+        if mode in ("cow", "mor"):
+            return "PARTITIONED BY (_partition)"
+        raise ValueError(f"mode must be 'cow', 'mor', or 'bucketed' (got {mode!r})")
 
     # --- SQL construction ---------------------------------------------------
     def build_merge_sql(

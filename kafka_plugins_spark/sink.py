@@ -115,6 +115,43 @@ def produce_to_log(
     out.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(path)
 
 
+def publish_changes(changes: DataFrame, path: str, num_partitions: int = 4) -> None:
+    """CDC-out (the outbox half the reference's consumers lack): publish
+    a ``changes_between`` frame to the offline topic log so downstream
+    systems tail the TABLE as a change stream instead of re-scanning it.
+    Production swaps the final write for ``df.write.format("kafka")``
+    with :func:`kafka_sink_options` — everything before it is the same
+    frame.
+
+    Contract a CDC consumer needs, enforced here:
+
+    - keyed by ``conv_id`` (md5 % n, the K2 partitioner) — one
+      conversation's changes land in ONE partition, so per-key order is
+      per-partition order;
+    - per-partition offsets are assigned by a deterministic sort
+      ``(conv_id, turn_idx, pre-image-first)`` so an ``update_before``
+      always precedes its ``update_after`` and a task retry reproduces
+      identical offsets (no monotonically_increasing_id);
+    - value is the JSON of the full change row including
+      ``_change_type`` — self-describing, replayable into any sink.
+    """
+    rank = F.when(F.col("_change_type") == "update_before", F.lit(0)).otherwise(F.lit(1))
+    payload = [c for c in changes.columns]
+    out = changes.select(
+        F.col("conv_id").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in payload])).alias("value"),
+        keyed_partition_expr("conv_id", num_partitions).alias("partition"),
+        F.col("turn_idx").alias("_turn"),
+        rank.alias("_rank"),
+    )
+    w = Window.partitionBy("partition").orderBy("key", "_turn", "_rank", "value")
+    out = (
+        out.withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_turn", "_rank")
+    )
+    out.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(path)
+
+
 def kafka_sink_options(brokers: str, topic: str, async_mode: bool = False) -> dict[str, str]:
     """Options for ``df.write.format("kafka")`` (production K3).
 

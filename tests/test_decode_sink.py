@@ -255,3 +255,48 @@ def test_decode_dlq_split(spark):
     assert "_corrupt" not in good.columns
     assert d == {11: "malformed_json", 12: "missing_required", 14: "missing_required"}
     assert len(g) + len(d) == len(rows)
+
+
+def test_publish_changes_round_trip_orders_pre_image_first(spark, tmp_path):
+    """CDC-out: changelog → keyed offline topic log; one conversation in
+    one partition, dense offsets, update_before before update_after."""
+    import json
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from kafka_plugins_spark.sink import publish_changes
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a", "I", 0),
+                                        ("k2", "user", "b", "I", 1)])),
+        batch_id=0,
+    )
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a2", "U", 10),
+                                        ("k2", None, None, "D", 11),
+                                        ("k3", "user", "c", "I", 12)])),
+        batch_id=1,
+    )
+    log = str(tmp_path / "log")
+    publish_changes(table.changes_between(r1.snapshot_id, r2.snapshot_id), log)
+    back = spark.read.parquet(log).collect()
+    assert len(back) == 4  # update pair + delete + insert
+    by_key = {}
+    for r in back:
+        by_key.setdefault(r["key"], []).append(r)
+    # one partition per key; dense offsets within partition
+    for k, rows in by_key.items():
+        assert len({r["partition"] for r in rows}) == 1
+    for p in {r["partition"] for r in back}:
+        offs = sorted(r["offset"] for r in back if r["partition"] == p)
+        assert offs == list(range(len(offs)))
+    # pre-image precedes post-image for the updated key
+    k1 = sorted(by_key["k1"], key=lambda r: r["offset"])
+    kinds = [json.loads(r["value"])["_change_type"] for r in k1]
+    assert kinds == ["update_before", "update_after"]
+    assert json.loads(k1[1]["value"])["text"] == "a2"
+    # value is self-describing JSON of the full change row
+    d = json.loads(next(r["value"] for r in by_key["k2"]))
+    assert d["_change_type"] == "delete" and d["conv_id"] == "k2"

@@ -302,5 +302,21 @@ def test_recommended_table_properties():
     assert mor["write.merge.mode"] == "merge-on-read"
     cow = IcebergMergeBackend.recommended_table_properties("cow")
     assert cow["write.delete.mode"] == "copy-on-write"
+    bucketed = IcebergMergeBackend.recommended_table_properties("bucketed")
+    assert bucketed["write.merge.mode"] == "copy-on-write"
     with pytest.raises(ValueError):
         IcebergMergeBackend.recommended_table_properties("nope")
+
+
+def test_recommended_partitioning():
+    import pytest
+
+    assert (
+        IcebergMergeBackend.recommended_partitioning("bucketed", n_buckets=4096)
+        == "PARTITIONED BY (bucket(4096, conv_id))"
+    )
+    assert IcebergMergeBackend.recommended_partitioning("mor") == (
+        "PARTITIONED BY (_partition)"
+    )
+    with pytest.raises(ValueError):
+        IcebergMergeBackend.recommended_partitioning("nope")
