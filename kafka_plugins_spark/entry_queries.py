@@ -1148,6 +1148,33 @@ def q_doc_lm_perplexity(spark, sf):
     return lm.lm_perplexity(docs, gram_counts, ctx_counts)
 
 
+def q_seq_pack(spark, sf):
+    """Concatenate-and-chunk sequence packing (the pretraining data
+    layout step), driver-verified exactly: word-count every document,
+    compute each doc's GLOBAL token offset with the bucketed two-phase
+    prefix sum (no single-partition window — the scalable shape), cut
+    the concatenated stream every 512 tokens, and emit each doc's
+    half-open span per overlapped chunk. The oracle recomputes the same
+    integer arithmetic with a plain SQL window — a hash match proves the
+    distributed prefix sum is bit-identical to the sequential one."""
+    from kafka_plugins_spark.operators.pack import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return pack_sequences(toks, "n_tok", "doc_id", capacity=512).select(
+        "doc_id", "n_tok", "chunk_id", "doc_begin", "doc_end"
+    )
+
+
 _WORDS_CTE = """
 words AS (
     SELECT doc_id,
@@ -1475,6 +1502,32 @@ def _lang_list(lang: str) -> str:
 
 
 TEXT_ORACLES = {
+    # sequential-window recompute of the packing arithmetic: the Spark
+    # side's bucketed two-phase prefix sum must land on the exact same
+    # integer offsets a plain ORDER BY window produces.
+    "seq_pack": """
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM documents),
+        cum AS (
+            SELECT doc_id, n_tok,
+                   (sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok)::BIGINT AS start
+            FROM toks WHERE n_tok > 0),
+        spans AS (
+            SELECT doc_id, n_tok, start, u.chunk_id
+            FROM cum,
+                 UNNEST(generate_series(start // 512, (start + n_tok - 1) // 512))
+                     AS u(chunk_id))
+        SELECT doc_id, n_tok,
+               chunk_id::BIGINT                               AS chunk_id,
+               greatest(0, chunk_id * 512 - start)::BIGINT    AS doc_begin,
+               least(n_tok, (chunk_id + 1) * 512 - start)::BIGINT AS doc_end
+        FROM spans
+    """,
     # re-learns the merge list and re-tokenizes every doc in pure SQL
     "bpe_encode": _bpe_encode_oracle_sql(),
     # …then re-ranks the vocab and re-hashes every id sequence
@@ -2106,6 +2159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "seq_pack": q_seq_pack,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
     "bpe_token_ids": q_bpe_token_ids,

@@ -1,0 +1,87 @@
+"""Sequence packing (operators/pack.py): the bucketed two-phase global
+prefix sum must be bit-identical to the naive single-window answer, the
+chunk spans must tile every document exactly, and the plan must contain
+no single-partition exchange (the scalable-shape point of the module).
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.operators.pack import pack_sequences, with_global_offsets
+
+
+def _docs(spark, counts):
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tok long"
+    )
+
+
+def test_offsets_match_single_window_any_bucketing(spark):
+    df = _docs(spark, [5, 0, 12, 7, 1, 30, 2, 2, 9, 4])
+    naive = (
+        df.withColumn(
+            "_start",
+            F.sum("n_tok").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn("_start", F.coalesce("_start", F.lit(0)))
+    )
+    want = {r["doc_id"]: r["_start"] for r in naive.collect()}
+    for nb in (1, 3, 256):
+        got = {
+            r["doc_id"]: r["_start"]
+            for r in with_global_offsets(df, "n_tok", "doc_id", n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb} diverged from the sequential answer"
+
+
+def test_pack_spans_tile_documents_exactly(spark):
+    # doc 2 (12 tokens) straddles the 8-token boundary; doc 5 (30) spans 4+ chunks
+    df = _docs(spark, [5, 0, 12, 7, 30, 3])
+    rows = pack_sequences(df, "n_tok", "doc_id", capacity=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc, "empty doc must pack nothing"
+    tokens = dict((r["doc_id"], r["n_tok"]) for r in df.collect())
+    for d, spans in by_doc.items():
+        spans = sorted(spans, key=lambda r: r["chunk_id"])
+        # spans tile [0, n_tok) contiguously
+        assert spans[0]["doc_begin"] == 0
+        assert spans[-1]["doc_end"] == tokens[d]
+        for a, b in zip(spans, spans[1:]):
+            assert a["doc_end"] == b["doc_begin"]
+            assert b["chunk_id"] == a["chunk_id"] + 1
+    # every chunk holds exactly `capacity` tokens except the last
+    per_chunk = {}
+    for r in rows:
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + (
+            r["doc_end"] - r["doc_begin"]
+        )
+    last = max(per_chunk)
+    for c, tot in per_chunk.items():
+        assert tot == 8 or (c == last and 0 < tot <= 8)
+    # a >capacity doc spans ceil(30/8)+ chunks
+    assert len(by_doc[4]) >= 4
+
+
+def test_pack_plan_has_no_single_partition_exchange(spark):
+    df = _docs(spark, list(range(1, 200)))
+    plan = (
+        pack_sequences(df, "n_tok", "doc_id", capacity=64, n_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, (
+        "the whole point: no global-window single-partition exchange"
+    )
+
+
+def test_pack_rejects_bad_capacity_and_handles_empty(spark):
+    df = _docs(spark, [])
+    assert pack_sequences(df, "n_tok", "doc_id", capacity=4).count() == 0
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, "n_tok", "doc_id", capacity=0)
