@@ -1148,6 +1148,17 @@ def q_doc_lm_perplexity(spark, sf):
     return lm.lm_perplexity(docs, gram_counts, ctx_counts)
 
 
+def q_doc_repetition(spark, sf):
+    """Gopher-style intra-doc repetition fractions (duplicate 2-gram /
+    3-gram share), driver-verified: pure-projection JVM plan; the oracle
+    rebuilds the same word n-grams with DuckDB list functions and
+    re-derives both ratios, so a hash match pins tokenization, gram
+    construction, the short-doc NULL gate, and the rounding."""
+    from kafka_plugins_spark.operators import text as tx
+
+    return tx.repetition_scores(_t(spark, sf, "documents"))
+
+
 def q_seq_pack(spark, sf):
     """Concatenate-and-chunk sequence packing (the pretraining data
     layout step), driver-verified exactly: word-count every document,
@@ -1494,6 +1505,19 @@ def q_split_assign(spark, sf):
     return split_assign(_t(spark, sf, "documents").select("doc_id"))
 
 
+def q_stratified_sample(spark, sf):
+    """Exact per-stratum sampling, driver-verified row-for-row: take
+    exactly ceil(0.25·n) documents of EVERY source stratum, selected by
+    a salted md5 rank (a deterministic shuffle). The oracle replays the
+    identical rank-and-cut in SQL, so a hash match proves the same rows
+    are chosen — per-group exactness the hash-threshold sampler can't
+    give, for eval slices that must represent small strata exactly."""
+    from kafka_plugins_spark.operators.sampling import stratified_exact_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return stratified_exact_sample(docs, "source", 0.25, "doc_id")
+
+
 _STOP_EN_LIST = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
 
 
@@ -1502,6 +1526,30 @@ def _lang_list(lang: str) -> str:
 
 
 TEXT_ORACLES = {
+    # same word n-grams rebuilt with list functions; ratios re-derived
+    # with the identical short-doc NULL gate and 4-decimal rounding
+    "doc_repetition": """
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id, len(w)::BIGINT AS n_words,
+                   list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS g2,
+                   list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS g3
+            FROM words)
+        SELECT doc_id, n_words,
+               CASE WHEN len(g2) > 0
+                    THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+               END AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0
+                    THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+               END AS dup_3gram_frac
+        FROM grams
+    """,
     # sequential-window recompute of the packing arithmetic: the Spark
     # side's bucketed two-phase prefix sum must land on the exact same
     # integer offsets a plain ORDER BY window produces.
@@ -1537,6 +1585,18 @@ TEXT_ORACLES = {
     # scrub -> dedup-on-clean -> quality gate, end-to-end in SQL
     "corpus_clean": _corpus_clean_oracle_sql(),
     # mirrors sampling.split_assign: bucket = int(md5('v1|'||id)[:4], 16) % 100
+    # identical salted-md5 rank-and-cut per stratum: row-for-row match
+    "stratified_sample": """
+        WITH r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR || chr(31) || 'v1'),
+                                doc_id::VARCHAR) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents)
+        SELECT doc_id, source FROM r WHERE rk <= ceil(0.25 * n)
+    """,
     "split_assign": f"""
         WITH h AS (
             SELECT doc_id, substr(md5('v1|' || doc_id::VARCHAR), 1, 4) AS hx
@@ -2159,6 +2219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "doc_repetition": q_doc_repetition,
     "seq_pack": q_seq_pack,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
@@ -2166,6 +2227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "corpus_clean": q_corpus_clean,
     "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -53,3 +53,41 @@ def deterministic_sample(
     if not 0 <= keep_percent <= 100:
         raise ValueError(f"bad keep_percent {keep_percent}")
     return df.filter(_bucket(id_col, salt) < keep_percent)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    group_col: str,
+    frac: float,
+    id_col: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic EXACT stratified sampling: exactly ``ceil(frac·n_g)``
+    rows from every group ``g`` — the guarantee :func:`deterministic_sample`'s
+    pure-projection hash threshold cannot give (its per-group keep count
+    is binomial around the target; fine corpus-wide, wrong when small
+    strata must be represented exactly, e.g. per-language eval slices).
+
+    Rows are ranked inside each stratum by ``md5(id ⊕ salt)`` — a
+    deterministic shuffle, so the same inputs always select the same
+    rows, re-runs are reproducible, and changing ``salt`` redraws the
+    sample. ``id_col`` must be unique (it tie-breaks the rank).
+
+    Cost: one hash exchange on ``group_col`` + two window functions over
+    it (rank + stratum size — same partitioning, one shuffle total).
+    Skewed strata inherit the window's per-group seriality; for a
+    pathological mega-stratum use :func:`deterministic_sample` instead.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1] (got {frac})")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col).cast("string"))
+    cw = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("_rk") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
+        .drop("_rk", "_n")
+    )

@@ -381,3 +381,59 @@ def bpe_encode_ids(
             "doc_id", F.size("token_ids").cast("long").alias("n_tokens"), "token_ids"
         )
     )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition fractions — the Gopher-style (Rae et
+    al. 2021, public) quality filters that catch boilerplate and
+    degenerate loops an LM-perplexity gate misses: the fraction of a
+    document's word n-grams that are duplicates of an earlier n-gram.
+
+    ``dup_kgram_frac = 1 − distinct(k-grams)/total(k-grams)`` for
+    k ∈ {2, 3}; NULL when the doc has no k-gram (shorter than k words).
+
+    Shape: pure projection, zero exchanges, all JVM. The words array and
+    each gram array are materialized in their OWN projection before
+    being referenced twice (size + array_distinct) — the measured
+    whole-stage-codegen CSE trap (see word_shingles,
+    operators/dedup.py) would otherwise rebuild the array per reference.
+    Ratios round to 4 decimals for cross-engine comparability.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    step1 = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+
+    def grams(k: int) -> Column:
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]
+            ),
+        )
+        # sequence(1, hi) DESCENDS for hi < 1 instead of being empty —
+        # short docs must gate to [] (same trap as _pair_counts)
+        return F.when(n >= k, g).otherwise(F.array().cast("array<string>"))
+
+    step2 = step1.select(
+        "doc_id", n.alias("n_words"), grams(2).alias("_g2"), grams(3).alias("_g3")
+    )
+
+    def dup_frac(c: Column) -> Column:
+        tot = F.size(c)
+        return F.when(
+            tot > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(c)) / tot, 4),
+        )
+
+    return step2.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("_g3")).alias("dup_3gram_frac"),
+    )

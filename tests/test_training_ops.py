@@ -572,3 +572,52 @@ def test_scrub_pii_idempotent(spark):
     a = once.select("doc_id", F.col("clean_text").alias("t"))
     b = twice.select("doc_id", F.col("clean_text").alias("t"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_repetition_scores_edges(spark):
+    from kafka_plugins_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # 5 bigrams, 2 distinct -> 0.6 dup
+            (1, "all words differ here"),  # no dup
+            (2, "one"),                   # no bigram -> NULL
+            (3, ""),                      # empty -> NULLs, 0 words
+            (4, "x x x x"),               # 3 bigrams 1 distinct; 2 trigrams 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.repetition_scores(docs).collect()}
+    assert got[0]["dup_2gram_frac"] == 0.6
+    assert got[1]["dup_2gram_frac"] == 0.0
+    assert got[2]["dup_2gram_frac"] is None and got[2]["n_words"] == 1
+    assert got[3]["n_words"] == 0 and got[3]["dup_3gram_frac"] is None
+    assert got[4]["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    assert got[4]["dup_3gram_frac"] == 0.5
+
+
+def test_stratified_exact_sample_counts_and_determinism(spark):
+    import math
+
+    from kafka_plugins_spark.operators.sampling import stratified_exact_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    s1 = stratified_exact_sample(df, "grp", 0.3, "id")
+    got = {r["grp"]: 0 for r in s1.collect()}
+    for r in s1.collect():
+        got[r["grp"]] = got.get(r["grp"], 0) + 1
+    sizes = {"g0": 34, "g1": 33, "g2": 33, "tiny": 1}
+    assert got == {g: math.ceil(0.3 * n) for g, n in sizes.items()}
+    # deterministic: same rows every run; new salt redraws
+    ids1 = sorted(r["id"] for r in s1.collect())
+    ids2 = sorted(r["id"] for r in stratified_exact_sample(df, "grp", 0.3, "id").collect())
+    assert ids1 == ids2
+    ids3 = sorted(
+        r["id"] for r in stratified_exact_sample(df, "grp", 0.3, "id", salt="v2").collect()
+    )
+    assert ids1 != ids3 and len(ids3) == len(ids1)
+    import pytest
+
+    with pytest.raises(ValueError, match="frac"):
+        stratified_exact_sample(df, "grp", 0.0, "id")
