@@ -661,9 +661,13 @@ class ParquetSnapshotTable:
                         {"op": "_op", "partition": "_partition", "offset": "_offset"}
                     )
             stored_schema = _with_system_columns(new_schema)
+            # cast present columns too: under type promotion the batch may
+            # carry the narrow type (no-op cast otherwise, removed by
+            # Catalyst)
             merged = merged.select(
                 *[
-                    F.col(f.name) if f.name in merged.columns
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in merged.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in stored_schema.fields
                 ]
@@ -769,9 +773,10 @@ class ParquetSnapshotTable:
             bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
 
             def align(df: DataFrame) -> DataFrame:
+                # present columns cast too (type promotion; no-op otherwise)
                 return df.select(
                     *[
-                        F.col(f.name)
+                        F.col(f.name).cast(f.dataType).alias(f.name)
                         if f.name in df.columns
                         else F.lit(None).cast(f.dataType).alias(f.name)
                         for f in stored_schema.fields

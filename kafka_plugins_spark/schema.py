@@ -67,26 +67,48 @@ class SchemaConflictError(TypeError):
     """Two schemas declare the same column with incompatible types."""
 
 
+#: safe widenings (Iceberg's promotion set): the merged column takes the
+#: WIDER type whichever side carries it. Sound because (a) Spark's
+#: parquet reader upcasts old narrow files under the wide read schema
+#: (verified on 4.1: int32 file → long column, float → double), and
+#: (b) the merge paths cast batch columns to the stored type before
+#: writing. Anything else (string↔numeric, long→int narrowing) stays a
+#: loud conflict.
+_PROMOTIONS: dict[tuple[str, str], T.DataType] = {
+    ("integer", "long"): T.LongType(),
+    ("long", "integer"): T.LongType(),
+    ("float", "double"): T.DoubleType(),
+    ("double", "float"): T.DoubleType(),
+}
+
+
 def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
     """Reconcile an evolved event schema with the table schema.
 
-    New columns append as nullable (the only evolution the engine allows,
-    per the north rule: added tool/metadata columns). A column present in
-    both with a different type is a conflict — the reference likewise
-    rejects type mismatches at configure time (KafkaConfig.java:483-545)
-    rather than coercing.
+    New columns append as nullable (the north rule's evolution: added
+    tool/metadata columns). A column present in both with different
+    types takes the safe promotion (int→long, float→double — Iceberg's
+    set, see ``_PROMOTIONS``) or raises a conflict; the reference
+    rejects ALL type mismatches at configure time
+    (KafkaConfig.java:483-545) — promotion is the lake-side upgrade its
+    fixed-schema model never needed.
     """
-    by_name = {f.name: f for f in base.fields}
+    pos = {f.name: i for i, f in enumerate(base.fields)}
     out = list(base.fields)
     for f in incoming.fields:
-        cur = by_name.get(f.name)
+        cur = out[pos[f.name]] if f.name in pos else None
         if cur is None:
             out.append(T.StructField(f.name, f.dataType, True))
         elif cur.dataType != f.dataType:
-            raise SchemaConflictError(
-                f"column {f.name!r}: table has {cur.dataType.simpleString()}, "
-                f"incoming batch has {f.dataType.simpleString()}"
+            wider = _PROMOTIONS.get(
+                (cur.dataType.typeName(), f.dataType.typeName())
             )
+            if wider is None:
+                raise SchemaConflictError(
+                    f"column {f.name!r}: table has {cur.dataType.simpleString()}, "
+                    f"incoming batch has {f.dataType.simpleString()}"
+                )
+            out[pos[f.name]] = T.StructField(f.name, wider, cur.nullable)
     return T.StructType(out)
 
 

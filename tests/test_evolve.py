@@ -1,6 +1,7 @@
 """Schema evolution (SURVEY.md §5 item 5): `tool` column appears mid-stream."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -102,3 +103,62 @@ def test_evolved_columns():
     a = T.StructType([T.StructField("x", T.LongType())])
     b = T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.StringType())])
     assert evolved_columns(a, b) == ["y"]
+
+
+def test_merge_schemas_promotes_int_to_long_and_float_to_double():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.DoubleType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.FloatType())])
+    m = merge_schemas(a, b)
+    assert m["x"].dataType == T.LongType()
+    assert m["y"].dataType == T.DoubleType()
+    # narrowing the other way also lands on the wider type
+    m2 = merge_schemas(b, a)
+    assert m2["x"].dataType == T.LongType() and m2["y"].dataType == T.DoubleType()
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor", "bucketed"])
+def test_type_promotion_end_to_end(spark, tmp_path, mode):
+    """Commit 1 writes an int extra column; commit 2 arrives with the
+    same column as long. The table schema promotes, OLD narrow parquet
+    files read back upcast under the wide schema, and LWW across the
+    promotion resolves correctly."""
+    import datetime
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ts = datetime.datetime(2026, 1, 1)
+    base = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("score", T.IntegerType()),  # narrow in v0
+            T.StructField("op", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    wide = T.StructType(
+        [
+            f if f.name != "score" else T.StructField("score", T.LongType())
+            for f in base.fields
+        ]
+    )
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode=mode)
+    v0 = spark.createDataFrame(
+        [("k1", 0, "user", "a", None, ts, 7, "I", 0, 0),
+         ("k2", 0, "user", "b", None, ts, 8, "I", 0, 1)],
+        base,
+    )
+    table.merge_into(last_writer_wins(v0), batch_id=0)
+    v1 = spark.createDataFrame(
+        [("k2", 0, "user", "b2", None, ts, 9_000_000_000, "U", 0, 10)], wide
+    )
+    table.merge_into(last_writer_wins(v1), batch_id=1)
+    assert table.table_schema()["score"].dataType == T.LongType()
+    got = {r["conv_id"]: r["score"] for r in table.read().collect()}
+    assert got == {"k1": 7, "k2": 9_000_000_000}
