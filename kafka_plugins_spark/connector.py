@@ -22,9 +22,13 @@ class TableEntity:
     path: str
     snapshot_id: int | None
     rows_applied: int | None
-    # number of data dirs the current snapshot reads (MoR read
-    # amplification signal: >1 means deltas await compact())
+    # number of data dirs the current snapshot reads. For mode="mor"
+    # this is the read-amplification signal (>1 means deltas await
+    # compact()); for mode="bucketed" it is layout (one dir per live
+    # bucket, no resolution cost) — read it together with write_mode.
     live_data_dirs: int = 0
+    write_mode: str = "cow"
+    n_buckets: int | None = None
 
 
 class LakeConnector:
@@ -53,6 +57,10 @@ class LakeConnector:
                         snapshot_id=None if snap is None else snap["snapshot_id"],
                         rows_applied=None if snap is None else snap.get("rows_applied"),
                         live_data_dirs=t.live_data_dirs(),
+                        write_mode=t._write_mode(),
+                        n_buckets=(
+                            None if snap is None else snap.get("n_buckets")
+                        ),
                     )
                 )
         return out

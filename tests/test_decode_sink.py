@@ -173,11 +173,18 @@ def test_connector_browse_and_sample(spark, events_path, tmp_path):
 
     wh = tmp_path / "warehouse"
     replay(spark, events_path, str(wh / "transcripts"))
+    replay(spark, events_path, str(wh / "transcripts_b"), mode="bucketed")
     c = LakeConnector(spark, str(wh))
     assert c.test()
-    ents = c.browse()
-    assert [e.name for e in ents] == ["transcripts"]
-    assert ents[0].snapshot_id == 0 and ents[0].rows_applied > 0
+    ents = {e.name: e for e in c.browse()}
+    assert set(ents) == {"transcripts", "transcripts_b"}
+    assert ents["transcripts"].snapshot_id == 0
+    assert ents["transcripts"].rows_applied > 0
+    assert ents["transcripts"].write_mode == "cow"
+    assert ents["transcripts"].n_buckets is None
+    assert ents["transcripts_b"].write_mode == "bucketed"
+    assert ents["transcripts_b"].n_buckets == 16
+    assert ents["transcripts_b"].live_data_dirs > 1  # layout, not MoR debt
     sample = c.sample("transcripts", limit=5)
     assert sample.count() == 5
     assert LakeConnector(spark, str(tmp_path / "missing")).test() is False
