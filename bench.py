@@ -213,8 +213,13 @@ def full_bench(sf_dir: str, cores: int) -> dict:
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(2):
-            df = QUERIES[name](spark, sf_dir)
+            # clock starts BEFORE construction: engine-drive queries
+            # (cdc_final_state_bucketed et al.) run their merges eagerly
+            # inside the callable and return a materialized frame — timing
+            # only the noop write would measure nothing. Lazy queries pay
+            # only microseconds of plan building here.
             t0 = time.monotonic()
+            df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
         qruns[name] = runs
