@@ -106,3 +106,35 @@ def partition_end_offsets_from_metadata(path: str) -> dict[int, int] | None:
         return out or None
     except (OSError, ValueError):
         return None
+
+
+def consumer_lag(table, events_path: str) -> dict[int, dict[str, int]]:
+    """Consumer-lag report: how far the table's committed watermarks
+    trail the event log's end offsets, per partition — the operational
+    signal every Kafka consumer exposes (`kafka-consumer-groups
+    --describe` lag column; the reference surfaces nothing equivalent —
+    its offsets file must be inspected by hand, KafkaPartitionOffsets
+    provenance in SURVEY §1.3).
+
+    Driver-only metadata: end offsets come from parquet footer stats
+    (no Spark job; falls back to one aggregate when footers are
+    unavailable) and watermarks from the current snapshot. Partitions
+    present in the log but never committed report a watermark of 0;
+    partitions committed but absent from the log (retention deleted
+    them) report lag 0, never negative.
+    """
+    ends = partition_end_offsets_from_metadata(events_path)
+    if ends is None:
+        spark = table.spark
+        ends = partition_end_offsets(scan_events(spark, events_path))
+    wm = table.watermarks()
+    out: dict[int, dict[str, int]] = {}
+    for p in sorted(set(ends) | set(wm)):
+        end = ends.get(p, 0)
+        w = wm.get(p, 0)
+        out[p] = {
+            "end_offset": end,
+            "watermark": w,
+            "lag": max(0, end - w),
+        }
+    return out

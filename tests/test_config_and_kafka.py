@@ -101,3 +101,21 @@ def test_topic_connector_option_construction(spark):
     assert s["endingOffsets"] == "latest" and s["failOnDataLoss"] == "false"
     # connectivity test degrades to False without a broker, never raises
     assert c.test() is False
+
+
+def test_consumer_lag_report(spark, events_path, tmp_path):
+    """Lag = end offsets minus committed watermarks, per partition; a
+    partial replay shows positive lag, a completed one shows zero."""
+    from kafka_plugins_spark.replay import replay
+    from kafka_plugins_spark.sources.events import consumer_lag
+
+    path = str(tmp_path / "t")
+    table, _ = replay(spark, events_path, path, chunk_size=150, max_chunks=2)
+    partial = consumer_lag(table, events_path)
+    assert partial and any(v["lag"] > 0 for v in partial.values())
+    for p, v in partial.items():
+        assert v["end_offset"] >= v["watermark"] >= 0
+    table, _ = replay(spark, events_path, path, chunk_size=150)
+    done = consumer_lag(table, events_path)
+    assert all(v["lag"] == 0 for v in done.values())
+    assert all(v["watermark"] == v["end_offset"] for v in done.values())
