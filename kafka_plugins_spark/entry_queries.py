@@ -176,10 +176,21 @@ def q_cdc_final_state_bucketed(spark, sf):
     return out
 
 
+def q_cdc_changelog_bucketed(spark, sf):
+    """Same changelog contract as ``q_cdc_changelog`` but over a
+    BUCKETED table, so the read exercises the manifest-diff file
+    pruning (only differing-bucket dirs are scanned —
+    tests/test_bucketed.py pins the inputFiles set; this row pins the
+    VALUES): a hash match against the same relational-diff oracle
+    proves the pruned path emits exactly the full delta."""
+    return _changelog_query(spark, sf, mode="bucketed", prefix="chlogb_entry_")
+
+
 def q_cdc_changelog(spark, sf):
     """Incremental changelog read (Iceberg changelog-view / Delta CDF
     semantics), driver-verified end-to-end: ingest the events table into
-    a scratch MoR snapshot table as TWO commits split at the median
+    a scratch snapshot table (MoR here; bucketed variant below) as TWO
+    commits split at the median
     offset, then return ``changes_between(first, second)`` — the
     insert / delete / update_before / update_after rows that turn the
     first converged state into the second. The oracle recomputes both
@@ -187,6 +198,10 @@ def q_cdc_changelog(spark, sf):
     so a hash match proves the engine's pruned incremental read emits
     exactly the relational delta. (The reference has no changelog read;
     its consumers re-scan the sink — SURVEY §2b gap closed here.)"""
+    return _changelog_query(spark, sf, mode="mor", prefix="chlog_entry_")
+
+
+def _changelog_query(spark, sf, mode, prefix):
     import shutil
     import tempfile
 
@@ -206,8 +221,8 @@ def q_cdc_changelog(spark, sf):
         F.col("event_id").alias("offset"),
     )
     cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
-    scratch = tempfile.mkdtemp(prefix="chlog_entry_")
-    table = ParquetSnapshotTable(spark, scratch, mode="mor")
+    scratch = tempfile.mkdtemp(prefix=prefix)
+    table = ParquetSnapshotTable(spark, scratch, mode=mode)
     r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
     r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
     out = (
@@ -520,6 +535,11 @@ CDC_ORACLES = {
         HAVING arg_max(event_type, event_id) <> 'error'
     """,
 }
+
+# identical relational diff — the bucketed row differs only in which
+# files the engine scans (pruned), never in the answer
+CDC_ORACLES["cdc_changelog_bucketed"] = CDC_ORACLES["cdc_changelog"]
+
 
 
 _AVRO_EVENT_SCHEMA = """{
@@ -2192,6 +2212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state_bucketed": q_cdc_final_state_bucketed,
     "cdc_partition_offsets": q_cdc_partition_offsets,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_changelog_bucketed": q_cdc_changelog_bucketed,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_incremental_minmax": q_cdc_incremental_minmax,
     "cdc_decode_dlq": q_cdc_decode_dlq,
