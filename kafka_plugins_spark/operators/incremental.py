@@ -209,6 +209,14 @@ class MaintainedCountSum:
     loser's rename fails loudly on the existing dir rather than
     corrupting state.
 
+    Coupling to snapshot retention: ``advance`` diffs from the last
+    reflected snapshot, so that snapshot must still exist. If
+    ``expire_snapshots`` dropped it, ``advance`` raises the table's
+    "no snapshot" error — deliberately loud, because the only recovery
+    is a full re-bootstrap (delete the state dir and advance again),
+    which against a petabyte table is a cost the operator should incur
+    knowingly, not silently. Keep ``keep_last`` ≥ the advance cadence.
+
     ``prepare`` projects derived measure columns (e.g. a length) onto
     both the bootstrap read and every delta before aggregation — it must
     be deterministic and row-local.
