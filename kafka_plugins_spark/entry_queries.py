@@ -74,6 +74,24 @@ def q_cdc_lww_salted(spark, sf):
     )
 
 
+def _events_ce(ev):
+    """The shared events→change-events mapping every engine-drive row
+    uses (FIXTURES.md §3: key=user_id, offset=event_id, tombstone=
+    event_type 'error'). One definition — a drifted copy would silently
+    desynchronize a driver row from its oracle."""
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_id").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+
+
 def q_cdc_final_state(spark, sf):
     """Converged table per user: LWW winner, tombstone ('error') dropped."""
     ev = _t(spark, sf, "events")
@@ -105,17 +123,7 @@ def q_cdc_final_state_mor(spark, sf):
     from kafka_plugins_spark.operators.resolve import last_writer_wins
 
     ev = _t(spark, sf, "events")
-    ce = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("event_id").cast("string").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),  # events parquet is ntz
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
-        F.col("event_id").alias("offset"),
-    )
+    ce = _events_ce(ev)
     hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
     scratch = tempfile.mkdtemp(prefix="mor_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="mor")
@@ -151,17 +159,7 @@ def q_cdc_final_state_bucketed(spark, sf):
     from kafka_plugins_spark.operators.resolve import last_writer_wins
 
     ev = _t(spark, sf, "events")
-    ce = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("event_id").cast("string").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
-        F.col("event_id").alias("offset"),
-    )
+    ce = _events_ce(ev)
     hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
     scratch = tempfile.mkdtemp(prefix="bucketed_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="bucketed", n_buckets=16)
@@ -209,17 +207,7 @@ def _changelog_query(spark, sf, mode, prefix):
     from kafka_plugins_spark.operators.resolve import last_writer_wins
 
     ev = _t(spark, sf, "events")
-    ce = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("event_id").cast("string").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
-        F.col("event_id").alias("offset"),
-    )
+    ce = _events_ce(ev)
     cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
     scratch = tempfile.mkdtemp(prefix=prefix)
     table = ParquetSnapshotTable(spark, scratch, mode=mode)
@@ -257,17 +245,7 @@ def q_cdc_incremental_agg(spark, sf):
     from kafka_plugins_spark.operators.resolve import last_writer_wins
 
     ev = _t(spark, sf, "events")
-    ce = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("event_id").cast("string").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
-        F.col("event_id").alias("offset"),
-    )
+    ce = _events_ce(ev)
     cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
     scratch = tempfile.mkdtemp(prefix="incagg_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="mor")
@@ -278,6 +256,7 @@ def q_cdc_incremental_agg(spark, sf):
     ch = with_len(table.changes_between(r1.snapshot_id, r2.snapshot_id))
     out = (
         apply_count_sum_delta(ch, prior, ["role"], ["text_len"])
+        .select("role", "cnt", "sum_text_len")  # nn_* is MV bookkeeping
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(scratch, ignore_errors=True)
@@ -305,17 +284,7 @@ def q_cdc_incremental_minmax(spark, sf):
     from kafka_plugins_spark.operators.resolve import last_writer_wins
 
     ev = _t(spark, sf, "events")
-    ce = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.lit(0).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("event_id").cast("string").alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
-        F.col("event_id").alias("offset"),
-    )
+    ce = _events_ce(ev)
 
     def agg_fn(df):
         return df.groupBy("role").agg(

@@ -175,6 +175,38 @@ def _with_system_columns(payload: T.StructType) -> T.StructType:
     return T.StructType(list(payload.fields) + SYSTEM_FIELDS)
 
 
+def _align_select(df: DataFrame, stored_schema: T.StructType) -> DataFrame:
+    """Project onto the stored schema: present columns cast to the stored
+    type (type promotion may leave the batch narrower — no-op cast
+    otherwise, removed by Catalyst), missing columns null-backfilled.
+    Shared by every merge path so a promotion/evolution fix cannot land
+    in one write mode and silently miss another."""
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in stored_schema.fields
+        ]
+    )
+
+
+def _fresh_partition_stats(fresh: DataFrame) -> dict[int, tuple[int, int, int]]:
+    """partition → (min offset, max offset + 1, rows) of a winners batch
+    (pre-rename envelope columns). One aggregate job; shared by the
+    incremental-CoW and bucketed merge heads."""
+    return {
+        int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
+        for r in fresh.groupBy("partition")
+        .agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+
+
 def compute_ranges(events: DataFrame) -> dict[int, tuple[int, int]]:
     """Per-partition ``[min, max+1)`` offset ranges of a batch."""
     rows = (
@@ -600,12 +632,7 @@ class ParquetSnapshotTable:
         try:
             per_part: dict[int, tuple[int, int, int]] | None = None
             if not single_pass:
-                per_part = {
-                    int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
-                    for r in fresh.groupBy("partition")
-                    .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"), F.count("*").alias("n"))
-                    .collect()
-                }
+                per_part = _fresh_partition_stats(fresh)
                 if not per_part:
                     return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
                 per_part = self._clip_ranges(per_part, ranges, delivered)
@@ -661,17 +688,7 @@ class ParquetSnapshotTable:
                         {"op": "_op", "partition": "_partition", "offset": "_offset"}
                     )
             stored_schema = _with_system_columns(new_schema)
-            # cast present columns too: under type promotion the batch may
-            # carry the narrow type (no-op cast otherwise, removed by
-            # Catalyst)
-            merged = merged.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in merged.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in stored_schema.fields
-                ]
-            )
+            merged = _align_select(merged, stored_schema)
 
             snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1
             data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
@@ -751,16 +768,7 @@ class ParquetSnapshotTable:
             n = self._n_buckets or DEFAULT_N_BUCKETS
         fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            per_part = {
-                int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
-                for r in fresh.groupBy("partition")
-                .agg(
-                    F.min("offset").alias("lo"),
-                    F.max("offset").alias("hi"),
-                    F.count("*").alias("n"),
-                )
-                .collect()
-            }
+            per_part = _fresh_partition_stats(fresh)
             if not per_part:
                 return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
             per_part = self._clip_ranges(per_part, ranges, delivered)
@@ -773,15 +781,7 @@ class ParquetSnapshotTable:
             bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
 
             def align(df: DataFrame) -> DataFrame:
-                # present columns cast too (type promotion; no-op otherwise)
-                return df.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if f.name in df.columns
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in stored_schema.fields
-                    ]
-                )
+                return _align_select(df, stored_schema)
 
             batch_rows = align(
                 fresh.withColumnsRenamed(
@@ -794,9 +794,24 @@ class ParquetSnapshotTable:
                 int(r["_b"])
                 for r in batch_rows.select(bucket_of.alias("_b")).distinct().collect()
             )
-            manifest: dict[str, str] = dict((snap_before or {}).get("bucket_paths", {}))
+            # Reopening a cow/mor table as bucketed is a one-time FULL
+            # conversion: every stored row folds into buckets (otherwise
+            # the new manifest would reference only the batch's buckets
+            # and silently drop the table while the carried-forward fence
+            # blocked re-ingest — permanent data loss).
+            converting = (
+                snap_before is not None
+                and "bucket_paths" not in snap_before
+                and bool(self._snapshot_paths(snap_before))
+            )
+            manifest: dict[str, str] = (
+                {} if converting else dict((snap_before or {}).get("bucket_paths", {}))
+            )
             prior_paths = [manifest[str(b)] for b in touched if str(b) in manifest]
-            if prior_paths:
+            if converting:
+                # resolves MoR deltas (window) and keeps tombstones
+                prior = align(self._read_full(snap_before))
+            elif prior_paths:
                 # old bucket files read under their OWN stored schema, then
                 # aligned — columns added by this batch surface as nulls
                 # (writer-side evolution for touched buckets; untouched
@@ -806,6 +821,9 @@ class ParquetSnapshotTable:
                         _with_system_columns(self._schema_of(snap_before))
                     ).parquet(*prior_paths)
                 )
+            else:
+                prior = None
+            if prior is not None:
                 in_order = bool(ranges) and all(
                     not delivered.get(p) or lo >= delivered[p][-1][1]
                     for p, (lo, _) in ranges.items()
@@ -843,18 +861,27 @@ class ParquetSnapshotTable:
             # dir. Task-local sort, no extra exchange.
             (
                 merged.withColumn("_bucket", bucket_of)
-                .repartition(max(len(touched), 1), F.col("_bucket"))
+                .repartition(n if converting else max(len(touched), 1), F.col("_bucket"))
                 .sortWithinPartitions("_bucket", *KEY_COLUMNS)
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(data_path)
             )
-            for b in touched:
-                bdir = os.path.join(data_path, f"_bucket={b}")
-                if os.path.isdir(bdir):
-                    manifest[str(b)] = bdir
-                else:
-                    manifest.pop(str(b), None)
+            if converting:
+                # every stored row was rewritten — the manifest is exactly
+                # what the write produced
+                manifest = {
+                    name.split("=", 1)[1]: os.path.join(data_path, name)
+                    for name in sorted(os.listdir(data_path))
+                    if name.startswith("_bucket=")
+                }
+            else:
+                for b in touched:
+                    bdir = os.path.join(data_path, f"_bucket={b}")
+                    if os.path.isdir(bdir):
+                        manifest[str(b)] = bdir
+                    else:
+                        manifest.pop(str(b), None)
             return self._finalize_commit(
                 snap_id,
                 {"bucket_paths": manifest, "n_buckets": n},

@@ -62,12 +62,21 @@ def count_sum_aggregate(
     count_col: str = "cnt",
 ) -> DataFrame:
     """From-scratch shape of the maintained aggregate: one row per group
-    with a row count and one ``sum_<c>`` per requested column. Used to
-    bootstrap the materialized view (and, in tests, as the ground truth
-    the incremental path must reproduce exactly)."""
+    with a row count, one ``sum_<c>``, and one ``nn_<c>`` (count of
+    non-NULL values) per requested column. Used to bootstrap the
+    materialized view (and, in tests, as the ground truth the
+    incremental path must reproduce exactly).
+
+    ``nn_<c>`` is MV bookkeeping, not a user-facing measure: it is what
+    lets the delta algebra distinguish "sums to zero" from "no non-NULL
+    values left" — ``sum()`` over an all-NULL group is NULL in a
+    recompute, and without the non-NULL count a delta that removes the
+    last non-NULL value would leave 0 instead (the cancel-to-zero
+    divergence). Drop it in presentation projections if undesired."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(count_col),
         *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols],
+        *[F.count(F.col(c)).alias(f"nn_{c}") for c in sum_cols],
     )
 
 
@@ -101,15 +110,31 @@ def apply_count_sum_delta(
     action consumes the result, so the guard costs no extra job and
     corruption can never materialize silently.
     """
+    missing = [f"nn_{c}" for c in sum_cols if f"nn_{c}" not in prior.columns]
+    if missing:
+        raise ValueError(
+            f"prior aggregate lacks {missing}: rebuild the materialization with "
+            "count_sum_aggregate — the state carries per-column non-NULL counts "
+            "so a delta can distinguish 'sums to zero' from 'no non-NULL left'"
+        )
     sign = F.when(F.col("_change_type").isin(*_ADDED), F.lit(1)).otherwise(F.lit(-1))
     delta = changes.groupBy(*group_cols).agg(
         F.sum(sign).alias("_d_cnt"),
         *[F.sum(sign * F.col(c)).alias(f"_d_sum_{c}") for c in sum_cols],
+        *[
+            F.sum(sign * F.col(c).isNotNull().cast("long")).alias(f"_d_nn_{c}")
+            for c in sum_cols
+        ],
     )
     p, d = prior.alias("p"), delta.alias("d")
     cnt = F.coalesce(F.col(f"p.{count_col}"), F.lit(0)) + F.coalesce(
         F.col("d._d_cnt"), F.lit(0)
     )
+
+    def _nn(c: str) -> Column:
+        return F.coalesce(F.col(f"p.nn_{c}"), F.lit(0)) + F.coalesce(
+            F.col(f"d._d_nn_{c}"), F.lit(0)
+        )
     merged = (
         p.join(d, _null_safe_on("p", "d", group_cols), "full_outer")
         .select(
@@ -127,20 +152,20 @@ def apply_count_sum_delta(
             )
             .alias(count_col),
             *[
-                # sum_<c> over an all-NULL measure column is NULL in both
-                # the from-scratch and the delta shape; 0 + NULL here
-                # would turn it into 0 and break recompute equivalence
+                # sum_<c> must be NULL exactly when the group retains no
+                # non-NULL value — a recompute's sum() over an all-NULL
+                # (or empty) set is NULL, and a delta that cancels the
+                # last non-NULL value to zero must NOT leave 0 behind
+                # (the cancel-to-zero divergence). nn_<c> tracks that.
                 F.when(
-                    F.col(f"p.sum_{c}").isNull() & F.col(f"d._d_sum_{c}").isNull(),
-                    F.lit(None),
-                )
-                .otherwise(
+                    _nn(c) > 0,
                     F.coalesce(F.col(f"p.sum_{c}"), F.lit(0))
-                    + F.coalesce(F.col(f"d._d_sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d._d_sum_{c}"), F.lit(0)),
                 )
                 .alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            *[_nn(c).alias(f"nn_{c}") for c in sum_cols],
         )
     )
     return merged.filter(F.col(count_col) > 0)

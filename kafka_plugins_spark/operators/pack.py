@@ -45,7 +45,13 @@ def with_global_offsets(
 ) -> DataFrame:
     """Add ``_start`` — the EXCLUSIVE global prefix sum of ``value_col``
     under the total order of ``order_col`` (unique, numeric) — without a
-    single-partition window (see module docstring for the shape)."""
+    single-partition window (see module docstring for the shape).
+
+    The input plan is evaluated THREE times (bounds collect, bucket
+    totals collect, the returned frame) — checkpointed up front so an
+    expensive upstream (tokenization of a full corpus) runs once, not
+    3× (code-review finding)."""
+    df = df.localCheckpoint(eager=True)
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]

@@ -108,33 +108,52 @@ def partition_end_offsets_from_metadata(path: str) -> dict[int, int] | None:
         return None
 
 
-def consumer_lag(table, events_path: str) -> dict[int, dict[str, int]]:
-    """Consumer-lag report: how far the table's committed watermarks
-    trail the event log's end offsets, per partition — the operational
-    signal every Kafka consumer exposes (`kafka-consumer-groups
-    --describe` lag column; the reference surfaces nothing equivalent —
-    its offsets file must be inspected by hand, KafkaPartitionOffsets
-    provenance in SURVEY §1.3).
+def consumer_lag(
+    table,
+    events_path: str | None = None,
+    end_offsets: dict[int, int] | None = None,
+) -> dict[int, dict[str, int]]:
+    """Consumer-lag report: how far the table's committed state trails
+    the event log's end offsets, per partition — the operational signal
+    every Kafka consumer exposes (`kafka-consumer-groups --describe`
+    lag column; the reference surfaces nothing equivalent — its offsets
+    file must be inspected by hand, KafkaPartitionOffsets provenance in
+    SURVEY §1.3).
 
-    Driver-only metadata: end offsets come from parquet footer stats
-    (no Spark job; falls back to one aggregate when footers are
-    unavailable) and watermarks from the current snapshot. Partitions
-    present in the log but never committed report a watermark of 0;
-    partitions committed but absent from the log (retention deleted
-    them) report lag 0, never negative.
+    Lag counts EVERY undelivered offset below the end, not just the
+    distance from the highest committed position: an out-of-order
+    backfill can leave gapped delivered intervals (``[[0,10),[20,30)]``),
+    and a report that trusted the high watermark would call that table
+    caught-up while offsets 10–19 were never ingested (code-review
+    finding). Fields per partition: ``end_offset``, ``watermark`` (the
+    CONTIGUOUS committed prefix — the resume-safe position), ``lag``
+    (count of offsets in ``[0, end)`` outside every delivered interval).
+    For an in-order stream the interval set is one run from 0 and the
+    three reduce to the familiar end/high/difference.
+
+    Driver-only metadata: end offsets from parquet footer stats (no
+    Spark job; one aggregate fallback), or pass ``end_offsets``
+    directly (a broker's endOffsets answer). Partitions committed but
+    absent from the log (retention) report lag 0, never negative.
     """
-    ends = partition_end_offsets_from_metadata(events_path)
-    if ends is None:
-        spark = table.spark
-        ends = partition_end_offsets(scan_events(spark, events_path))
-    wm = table.watermarks()
+    if end_offsets is not None:
+        ends = dict(end_offsets)
+    else:
+        if events_path is None:
+            raise ValueError("consumer_lag needs events_path or end_offsets")
+        ends = partition_end_offsets_from_metadata(events_path)
+        if ends is None:
+            ends = partition_end_offsets(scan_events(table.spark, events_path))
+    delivered = table.delivered_ranges()
     out: dict[int, dict[str, int]] = {}
-    for p in sorted(set(ends) | set(wm)):
+    for p in sorted(set(ends) | set(delivered)):
         end = ends.get(p, 0)
-        w = wm.get(p, 0)
+        iv = delivered.get(p, [])
+        covered = sum(max(0, min(e, end) - max(s, 0)) for s, e in iv)
+        contiguous = iv[0][1] if iv and iv[0][0] <= 0 else 0
         out[p] = {
             "end_offset": end,
-            "watermark": w,
-            "lag": max(0, end - w),
+            "watermark": contiguous,
+            "lag": max(0, end - covered),
         }
     return out

@@ -235,3 +235,43 @@ def test_bucketed_point_lookup_scans_one_bucket(spark, tmp_path):
     assert table.read_key("k7").count() == 0
     # cow fallback returns the same answer shape
     assert table.read_key("k6").collect()[0]["text"] == "t6"
+
+
+@pytest.mark.parametrize("prior_mode", ["cow", "mor"])
+def test_reopen_as_bucketed_converts_whole_table(spark, tmp_path, prior_mode):
+    """Reopening a cow/mor table as bucketed must fold EVERY stored row
+    into buckets (one-time conversion), not silently drop the table
+    behind the carried-forward fence (the code-review data-loss
+    finding). Deletes and MoR delta resolution must survive it."""
+    path = str(tmp_path / "t")
+    t0 = ParquetSnapshotTable(spark, path, mode=prior_mode)
+    t0.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"k{i}", "user", f"t{i}", "I", i) for i in range(30)])
+        ),
+        batch_id=0,
+    )
+    t0.merge_into(
+        last_writer_wins(_batch(spark, [("k5", "user", "t5v2", "U", 60),
+                                        ("k6", None, None, "D", 61)])),
+        batch_id=1,
+    )
+    tb = ParquetSnapshotTable(spark, path, mode="bucketed", n_buckets=8)
+    r = tb.merge_into(
+        last_writer_wins(_batch(spark, [("k100", "user", "new", "I", 100)])),
+        batch_id=2,
+    )
+    assert not r.skipped
+    snap = tb.current_snapshot()
+    assert "bucket_paths" in snap and snap["n_buckets"] == 8
+    got = {r["conv_id"]: r["text"] for r in tb.read().collect()}
+    assert len(got) == 30, "conversion must keep every prior row"
+    assert got["k5"] == "t5v2" and "k6" not in got and got["k100"] == "new"
+    # post-conversion commits are partial again
+    m1 = snap["bucket_paths"]
+    tb.merge_into(
+        last_writer_wins(_batch(spark, [("k100", "user", "newer", "U", 200)])),
+        batch_id=3,
+    )
+    m2 = tb.current_snapshot()["bucket_paths"]
+    assert sum(1 for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)) == 1

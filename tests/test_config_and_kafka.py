@@ -119,3 +119,34 @@ def test_consumer_lag_report(spark, events_path, tmp_path):
     done = consumer_lag(table, events_path)
     assert all(v["lag"] == 0 for v in done.values())
     assert all(v["watermark"] == v["end_offset"] for v in done.values())
+
+
+def test_consumer_lag_counts_gaps_not_high_watermark(spark, tmp_path):
+    """Gapped delivered intervals ([[0,10),[20,30)]) must report the
+    10 missing offsets as lag, and the watermark must be the CONTIGUOUS
+    prefix — not the high end that would hide the hole."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from kafka_plugins_spark.sources.events import consumer_lag
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"a{i}", "user", "x", "I", i) for i in range(10)])),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"b{i}", "user", "x", "I", 20 + i) for i in range(10)])),
+        batch_id=1,
+    )
+    assert table.delivered_ranges()[0] == [(0, 10), (20, 30)]
+    lag = consumer_lag(table, end_offsets={0: 30})
+    assert lag[0] == {"end_offset": 30, "watermark": 10, "lag": 10}
+    # filling the hole zeroes the lag and advances the watermark
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"c{i}", "user", "x", "I", 10 + i) for i in range(10)])),
+        batch_id=2,
+    )
+    assert consumer_lag(table, end_offsets={0: 30})[0] == {
+        "end_offset": 30, "watermark": 30, "lag": 0,
+    }

@@ -93,7 +93,8 @@ def test_null_group_key_is_one_real_group(spark):
     """NULL group keys must merge null-safely: the prior NULL bucket and
     the delta NULL bucket combine into one row, not two (and not zero)."""
     prior = spark.createDataFrame(
-        [(None, 2, 10), ("en", 1, 5)], "g string, cnt bigint, sum_v bigint"
+        [(None, 2, 10, 2), ("en", 1, 5, 1)],
+        "g string, cnt bigint, sum_v bigint, nn_v bigint",
     )
     changes = spark.createDataFrame(
         [(None, 3, "insert"), (None, 7, "delete"), ("en", 2, "insert")],
@@ -112,7 +113,9 @@ def test_null_group_key_is_one_real_group(spark):
 def test_all_null_measure_stays_null(spark):
     """sum over an all-NULL measure is NULL from scratch; the delta merge
     must not manufacture a 0 for it."""
-    prior = spark.createDataFrame([("en", 1, None)], "g string, cnt bigint, sum_v bigint")
+    prior = spark.createDataFrame(
+        [("en", 1, None, 0)], "g string, cnt bigint, sum_v bigint, nn_v bigint"
+    )
     changes = spark.createDataFrame(
         [("en", None, "insert")], "g string, v int, _change_type string"
     )
@@ -124,7 +127,9 @@ def test_inconsistent_changelog_raises(spark):
     """A delta that removes more rows than the prior ever counted cannot
     come from a real changelog — consuming the result must raise, not
     emit a negative or silently-dropped group."""
-    prior = spark.createDataFrame([("en", 1, 5)], "g string, cnt bigint, sum_v bigint")
+    prior = spark.createDataFrame(
+        [("en", 1, 5, 1)], "g string, cnt bigint, sum_v bigint, nn_v bigint"
+    )
     changes = spark.createDataFrame(
         [("en", 5, "delete"), ("en", 5, "update_before")],
         "g string, v int, _change_type string",
@@ -172,7 +177,9 @@ def test_refresh_affected_groups_handles_min_max(spark, tmp_path):
 
 
 def test_delta_apply_plan_is_jvm_only(spark):
-    prior = spark.createDataFrame([("en", 1, 5)], "g string, cnt bigint, sum_v bigint")
+    prior = spark.createDataFrame(
+        [("en", 1, 5, 1)], "g string, cnt bigint, sum_v bigint, nn_v bigint"
+    )
     changes = spark.createDataFrame(
         [("en", 2, "insert")], "g string, v int, _change_type string"
     )
@@ -297,3 +304,32 @@ def test_maintained_view_after_streaming_ingest(spark, tmp_path):
     want = {r["role"]: (r["cnt"], r["sum_text_len"])
             for r in _agg(mv.table.read()).collect()}
     assert got == want
+
+
+def test_cancel_to_zero_sum_goes_null_not_zero(spark, tmp_path):
+    """Code-review finding: deleting the LAST non-NULL measure value of
+    a group that still has (all-NULL) rows must leave sum NULL — exactly
+    what a recompute yields — not 0. The nn_ bookkeeping column is what
+    makes the delta able to tell the difference."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    # role 'user': one row with text (len 3) + one row with NULL text
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "abc", "I", 0),
+                                        ("k2", "user", None, "I", 1)])),
+        batch_id=0,
+    )
+    prior = _agg(table.read(r1.snapshot_id))
+    row = prior.collect()[0]
+    assert (row["cnt"], row["sum_text_len"], row["nn_text_len"]) == (2, 3, 1)
+    # delete the non-NULL row; k2 (NULL text) remains
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", None, None, "D", 10)])), batch_id=1
+    )
+    ch = _with_len(table.changes_between(r1.snapshot_id, r2.snapshot_id))
+    got = apply_count_sum_delta(ch, prior, ["role"], ["text_len"]).collect()
+    want = _agg(table.read(r2.snapshot_id)).collect()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["cnt"] == w["cnt"] == 1
+    assert g["sum_text_len"] is None and w["sum_text_len"] is None
+    assert g["nn_text_len"] == 0
