@@ -222,3 +222,32 @@ def test_changelog_mor_increment_is_pruned(spark, events_path, tmp_path):
     assert len(table.current_snapshot()["data_paths"]) >= 3
     assert "InMemoryFileIndex(1 paths)" in p
     assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in p
+
+
+def test_round5b_operators_plan_shapes(spark):
+    """Late round-5 operators stay on the scale path: repetition scores
+    are a pure projection (zero exchanges, zero Python); stratified
+    sampling is ONE hash exchange on the stratum (rank + size windows
+    share it); the incremental delta apply has no Python and no
+    cartesian; the LM scorer's model joins broadcast (model ≤ 37³
+    rows must never shuffle the corpus on the gram key)."""
+    from kafka_plugins_spark.operators import lm
+    from kafka_plugins_spark.operators.sampling import stratified_exact_sample
+    from kafka_plugins_spark.operators.text import repetition_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    p = plan_of(repetition_scores(docs))
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+
+    p = plan_of(stratified_exact_sample(docs, "source", 0.25, "doc_id"))
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1, (
+        "rank and stratum-size windows must share one exchange"
+    )
+
+    gc, cc = lm.char_ngram_model(docs)
+    p = plan_of(lm.lm_perplexity(docs, gc, cc))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p, "model relations must broadcast"
+    assert "SortMergeJoin" not in p
