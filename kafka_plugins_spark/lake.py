@@ -971,11 +971,18 @@ class ParquetSnapshotTable:
             out[p] = (lo, end, n)
         return out
 
-    def compact(self) -> CommitResult:
+    def compact(self, buckets: list[int] | None = None) -> CommitResult:
         """Rewrite the current snapshot without tombstone rows; for a MoR
         table this also folds every delta dir into one resolved dir
         (bounding read amplification — the MoR maintenance contract,
         same as Iceberg's rewrite_data_files).
+
+        ``buckets`` (bucketed tables only): rewrite ONLY the listed
+        buckets — targeted maintenance for a hot bucket accumulating
+        tombstone weight, the Iceberg rewrite_data_files-with-filter
+        analogue; every other manifest entry is carried by reference,
+        so the commit costs O(listed buckets), not O(table). Buckets
+        absent from the manifest are ignored (nothing to rewrite).
 
         Safe once no batch below the per-partition high watermark can
         still arrive (always true for in-order sources like Kafka; for
@@ -986,33 +993,50 @@ class ParquetSnapshotTable:
         snap = self.current_snapshot()
         if snap is None:
             return CommitResult(skipped=True)
-        compacted = self._read_full().filter(
-            F.coalesce(F.col("_op") != "D", F.lit(True))
-        )
+        if buckets is not None and "bucket_paths" not in snap:
+            raise ValueError("compact(buckets=...) requires a bucketed table")
         snap_id = snap["snapshot_id"] + 1
         data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
         new_snap = dict(snap)
         if "bucket_paths" in snap:
-            # bucketed compaction keeps the layout: rewrite every bucket
-            # without tombstones and republish the full manifest (dead
-            # tombstone weight is the only thing compaction removes here —
-            # there are no deltas to fold).
+            # bucketed compaction keeps the layout: rewrite the chosen
+            # buckets (default all) without tombstones; untouched entries
+            # stay by reference (dead tombstone weight is the only thing
+            # compaction removes here — there are no deltas to fold).
             n = int(snap["n_buckets"])
             bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+            manifest = dict(snap["bucket_paths"])
+            if buckets is None:
+                todo = sorted(int(b) for b in manifest)
+            else:
+                todo = sorted(int(b) for b in buckets if str(b) in manifest)
+            if not todo:
+                return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+            stored = _with_system_columns(self._schema_of(snap))
+            compacted = (
+                self.spark.read.schema(stored)
+                .parquet(*[manifest[str(b)] for b in todo])
+                .filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
+            )
             (
                 compacted.withColumn("_bucket", bucket_of)
-                .repartition(n, F.col("_bucket"))
+                .repartition(len(todo), F.col("_bucket"))
                 .sortWithinPartitions("_bucket", *KEY_COLUMNS)
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(data_path)
             )
-            new_snap["bucket_paths"] = {
-                name.split("=", 1)[1]: os.path.join(data_path, name)
-                for name in sorted(os.listdir(data_path))
-                if name.startswith("_bucket=")
-            }
+            for b in todo:
+                bdir = os.path.join(data_path, f"_bucket={b}")
+                if os.path.isdir(bdir):
+                    manifest[str(b)] = bdir
+                else:  # the bucket held only tombstones — now empty
+                    manifest.pop(str(b), None)
+            new_snap["bucket_paths"] = manifest
         else:
+            compacted = self._read_full().filter(
+                F.coalesce(F.col("_op") != "D", F.lit(True))
+            )
             compacted.write.mode("overwrite").parquet(data_path)
             if "data_paths" in new_snap:
                 new_snap["data_paths"] = [data_path]

@@ -275,3 +275,40 @@ def test_reopen_as_bucketed_converts_whole_table(spark, tmp_path, prior_mode):
     )
     m2 = tb.current_snapshot()["bucket_paths"]
     assert sum(1 for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)) == 1
+
+
+def test_bucketed_targeted_compact_rewrites_only_listed_buckets(spark, tmp_path):
+    """compact(buckets=[...]) drops tombstone weight in the listed
+    buckets only; every other manifest entry is carried by reference
+    (the rewrite_data_files-with-filter analogue)."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"k{i}", "user", f"t{i}", "I", i) for i in range(40)])
+        ),
+        batch_id=0,
+    )
+    # tombstone k3; find its bucket via the manifest diff
+    m0 = table.current_snapshot()["bucket_paths"]
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k3", None, None, "D", 100)])), batch_id=1
+    )
+    m1 = table.current_snapshot()["bucket_paths"]
+    (hot,) = [int(b) for b in m1 if m0.get(b) != m1.get(b)]
+    before = {r["conv_id"] for r in table.read().collect()}
+    r = table.compact(buckets=[hot])
+    assert not r.skipped
+    m2 = table.current_snapshot()["bucket_paths"]
+    changed = {b for b in set(m1) | set(m2) if m1.get(b) != m2.get(b)}
+    assert changed == {str(hot)}
+    assert {r["conv_id"] for r in table.read().collect()} == before
+    # the tombstone is physically gone from the compacted bucket
+    stored = table._read_full()
+    assert stored.filter(F.col("_op") == "D").count() == 0
+    # non-bucketed tables refuse the targeted form
+    t2 = ParquetSnapshotTable(spark, str(tmp_path / "c"))
+    t2.merge_into(last_writer_wins(_batch(spark, [("x", "user", "a", "I", 0)])), batch_id=0)
+    with pytest.raises(ValueError, match="bucketed"):
+        t2.compact(buckets=[0])
+    # compacting buckets not in the manifest is a no-op skip
+    assert table.compact(buckets=[999]).skipped
