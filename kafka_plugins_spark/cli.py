@@ -36,8 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--chunk-size", type=int, default=None)
     rp.add_argument("--salt-buckets", type=int, default=0)
     rp.add_argument("--cores", type=int, default=None)
-    rp.add_argument("--mode", choices=["cow", "mor"], default=None,
-                    help="cow: rewrite per commit; mor: O(batch) delta appends, LWW at read")
+    rp.add_argument("--mode", choices=["cow", "mor", "bucketed"], default=None,
+                    help="cow: rewrite per commit; mor: O(batch) delta appends, LWW at "
+                         "read; bucketed: rewrite only key-touched buckets")
+    rp.add_argument("--n-buckets", type=int, default=None,
+                    help="bucket count for --mode bucketed (pinned at first commit)")
     rp.add_argument("--compact", action="store_true",
                     help="fold MoR deltas (and drop tombstones) after replay")
 
@@ -52,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable watermarked stateful dedup (only when event-time "
                          "disorder is provably bounded by --watermark)")
     st.add_argument("--salt-buckets", type=int, default=0)
+    st.add_argument("--mode", choices=["cow", "mor", "bucketed"], default=None)
+    st.add_argument("--n-buckets", type=int, default=None)
     st.add_argument("--cores", type=int, default=None)
 
     dg = sub.add_parser("datagen")
@@ -93,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         table, results = replay(
             spark, args.events, args.table, chunk_size=args.chunk_size,
             salt_buckets=args.salt_buckets or None, mode=args.mode,
+            n_buckets=args.n_buckets,
         )
         if args.compact:
             table.compact()
@@ -128,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             salt_buckets=args.salt_buckets or None,
             watermark_delay=args.watermark,
             dedup=args.dedup,
+            mode=args.mode,
+            n_buckets=args.n_buckets,
         )
         s.await_and_stop()
         rows = sum(c.rows_applied for c in s.commits)

@@ -36,6 +36,7 @@ def replay(
     max_chunks: int | None = None,
     wire: bool = False,
     mode: str | None = None,
+    n_buckets: int | None = None,
 ) -> tuple[ParquetSnapshotTable, list[CommitResult]]:
     """Replay the event log into the lake table.
 
@@ -52,7 +53,7 @@ def replay(
     """
     from kafka_plugins_spark.functions.decode import decode_transcript_events
 
-    table = ParquetSnapshotTable(spark, table_path, mode=mode)
+    table = ParquetSnapshotTable(spark, table_path, mode=mode, n_buckets=n_buckets)
     events = scan_events(spark, events_path, merge_schema=merge_schema)
     if wire:
         events = decode_transcript_events(events)

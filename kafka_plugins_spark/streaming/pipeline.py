@@ -72,6 +72,7 @@ def start_ingest_stream(
     dedup: bool = False,
     available_now: bool = True,
     mode: str | None = None,
+    n_buckets: int | None = None,
     auto_compact_every: int | None = None,
     wire: bool = False,
     dlq_path: str | None = None,
@@ -137,7 +138,7 @@ def start_ingest_stream(
             "batch while compute_ranges still fences their offsets — without a "
             "quarantine the loss would be permanent and unrecorded"
         )
-    table = ParquetSnapshotTable(spark, table_path, mode=mode)
+    table = ParquetSnapshotTable(spark, table_path, mode=mode, n_buckets=n_buckets)
     stream = IngestStream(query=None, table=table)  # type: ignore[arg-type]
 
     events = dedup_stream(source, watermark_delay) if dedup else source
