@@ -202,7 +202,9 @@ def full_bench(sf_dir: str, cores: int) -> dict:
         out["unit"] = "events/sec"
         out["n_events"] = n
 
-    from kafka_plugins_spark.entry_queries import QUERIES
+    from kafka_plugins_spark.entry_queries import EXTRA_QUERIES, QUERIES
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}  # bench times some pytest-only rows too
 
     # best-of-2 per query, both runs reported: the host stalls in
     # minute-scale windows (observed 27 s for a steady-state 0.7 s

@@ -16,6 +16,7 @@ Portability rules used throughout (keep when editing):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -265,22 +266,25 @@ def q_cdc_incremental_agg(spark, sf):
 
 def q_cdc_incremental_minmax(spark, sf):
     """The non-invertible half of incremental MV maintenance,
-    driver-verified: same two-commit MoR ingest as
-    ``q_cdc_incremental_agg``, but the maintained aggregate holds
-    min/max/count-distinct — quantities a delta CANNOT advance
-    algebraically (a deleted row may have held the minimum). The engine
-    bootstraps the aggregate from snapshot 1, then refreshes it to
-    snapshot 2 via ``refresh_affected_groups``: only the groups the
-    changelog touched re-aggregate (affected-keys semi-join on the
-    target scan), everything else is carried over untouched. The oracle
-    re-aggregates the converged state from scratch, so a hash match
-    proves patch-in-place == full recompute, including groups whose
-    minimum-holding row was tombstoned."""
+    driver-verified THROUGH THE PERSISTED LIFECYCLE: ingest the events
+    table into a scratch MoR snapshot table as THREE commits (split at
+    offset terciles, the last containing the data's tombstones), then
+    drive a :class:`MaintainedGroupAgg` — a persisted on-disk MV holding
+    min/max/count-distinct, quantities a delta CANNOT advance
+    algebraically (a deleted row may have held the minimum). The MV
+    bootstraps after commit 1 and ``advance()``s twice, each advance an
+    O(delta + touched-group rows) refresh published by atomic rename —
+    the untouched groups are carried from the STORED state on disk, not
+    recomputed (behaviorally pinned in tests/test_incremental.py, along
+    with a group-emptying delete and a crash-mid-advance recovery). The
+    oracle re-aggregates the converged state from scratch and never sees
+    the cuts, so a hash match proves bootstrap→advance→advance on disk
+    == full recompute."""
     import shutil
     import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
-    from kafka_plugins_spark.operators.incremental import refresh_affected_groups
+    from kafka_plugins_spark.operators.incremental import MaintainedGroupAgg
     from kafka_plugins_spark.operators.resolve import last_writer_wins
 
     ev = _t(spark, sf, "events")
@@ -294,19 +298,19 @@ def q_cdc_incremental_minmax(spark, sf):
             F.countDistinct("conv_id").alias("n_convs"),
         )
 
-    cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
+    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    step = hi // 3 + 1
     scratch = tempfile.mkdtemp(prefix="incmm_entry_")
-    table = ParquetSnapshotTable(spark, scratch, mode="mor")
-    r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
-    r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
-    prior = agg_fn(table.read(r1.snapshot_id))
-    out = refresh_affected_groups(
-        prior,
-        table.changes_between(r1.snapshot_id, r2.snapshot_id),
-        table.read(r2.snapshot_id),
-        ["role"],
-        agg_fn,
-    ).localCheckpoint(eager=True)
+    table = ParquetSnapshotTable(spark, os.path.join(scratch, "t"), mode="mor")
+    mv = MaintainedGroupAgg(table, os.path.join(scratch, "mv"), ["role"], agg_fn)
+    for i in range(3):
+        chunk = ce.filter(
+            (F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step)
+        )
+        table.merge_into(last_writer_wins(chunk), batch_id=i)
+        info = mv.advance()
+        assert info["bootstrapped" if i == 0 else "delta_applied"]
+    out = mv.read().localCheckpoint(eager=True)
     shutil.rmtree(scratch, ignore_errors=True)
     return out
 
@@ -2172,6 +2176,16 @@ SIM_ORACLES = {
 # registry
 # =========================================================================
 
+# The external driver verifies at most 50 registry rows per round
+# (observed: r5's registry had 57 entries and CORRECTNESS_r05.json holds
+# exactly the first 50 — the tail went silently unverified). QUERIES is
+# therefore capped at 50 driver-facing rows, at least one per operator
+# family; variants subsumed by a richer row (exact ANN/near-dup baselines
+# that already serve as conceptual oracles of the LSH/IVF/grid rows,
+# simple projections covered by fuller ones) live in EXTRA_QUERIES below,
+# which tests/test_entry_parity.py verifies against the SAME DuckDB
+# oracles on every pytest run. A test gate asserts len(QUERIES) <= 50 so
+# future growth fails a test instead of shedding driver verification.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_dedup": q_cdc_dedup,
     "cdc_lww": q_cdc_lww,
@@ -2186,14 +2200,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_incremental_minmax": q_cdc_incremental_minmax,
     "cdc_decode_dlq": q_cdc_decode_dlq,
     "decode_avro_events": q_decode_avro_events,
-    "media_byte_histogram": q_media_byte_histogram,
     "media_png_decode": q_media_png_decode,
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_wav_decode": q_media_wav_decode,
     "media_video_frames": q_media_video_frames,
     "media_png_resize": q_media_png_resize,
     "pricing_summary": q_pricing_summary,
-    "customers_without_orders": q_customers_without_orders,
     "customers_lapsed": q_customers_lapsed,
     "active_customer_balance": q_active_customer_balance,
     "event_type_pivot": q_event_type_pivot,
@@ -2202,9 +2214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_volume": q_nation_volume,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sessionize": q_sessionize,
-    "event_counts": q_event_counts,
     "events_rollup": q_events_rollup,
-    "doc_stats": q_doc_stats,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
@@ -2212,7 +2222,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "seq_pack": q_seq_pack,
     "bpe_pair_counts": q_bpe_pair_counts,
-    "bpe_encode": q_bpe_encode,
     "bpe_token_ids": q_bpe_token_ids,
     "pii_scrub": q_pii_scrub,
     "corpus_clean": q_corpus_clean,
@@ -2223,13 +2232,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_topk": q_ann_topk,
-    "emb_neardup": q_emb_neardup,
     "emb_neardup_ivf": q_emb_neardup_ivf,
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+}
+
+# Subsumed/baseline variants: pytest-verified against the same oracles
+# (test_entry_parity), kept OUT of the driver registry so every family in
+# QUERIES gets a CORRECTNESS row each round (driver cap: 50).
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_byte_histogram": q_media_byte_histogram,
+    "customers_without_orders": q_customers_without_orders,
+    "event_counts": q_event_counts,
+    "doc_stats": q_doc_stats,
+    "bpe_encode": q_bpe_encode,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "emb_neardup": q_emb_neardup,
 }
 
 ORACLES: dict[str, str] = {

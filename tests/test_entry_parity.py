@@ -36,14 +36,35 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
-ALL = sorted(entry_mod.queries().keys())
+def _all_queries():
+    """Driver registry + the pytest-only EXTRA_QUERIES variants: every
+    implemented query is oracle-verified here even when kept out of the
+    driver's capped registry."""
+    from kafka_plugins_spark.entry_queries import EXTRA_QUERIES
+
+    return {**entry_mod.queries(), **EXTRA_QUERIES}
+
+
+ALL = sorted(_all_queries().keys())
+
+
+def test_registry_within_driver_cap():
+    """The external driver verifies at most 50 registry rows per round
+    (r5: 57 registered, only the first 50 got CORRECTNESS entries — the
+    ANN/similarity tail went silently unverified). Grow EXTRA_QUERIES,
+    not QUERIES, past this cap."""
+    assert len(entry_mod.queries()) <= 50
+    # and the driver-facing oracle map must cover exactly those rows
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
 
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
+    from kafka_plugins_spark.entry_queries import ORACLES
+
+    q = _all_queries()[name]
     got = normalize(q(spark, SF).toPandas())
-    oracle = entry_mod.oracle_sql().get(name)
+    oracle = ORACLES.get(name)
     if oracle is None:
         # rows-only contract for non-SQL-expressible ops
         assert len(got) >= 0
@@ -80,7 +101,7 @@ def test_every_query_has_result_rows(spark):
         "emb_neardup",
         "customers_without_orders",  # sf0.001: every customer has orders
     }
-    for name, q in entry_mod.queries().items():
+    for name, q in _all_queries().items():
         if name in may_be_empty:
             continue
         assert q(spark, SF).limit(1).count() == 1, f"{name} returned no rows"

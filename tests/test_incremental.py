@@ -333,3 +333,127 @@ def test_cancel_to_zero_sum_goes_null_not_zero(spark, tmp_path):
     assert g["cnt"] == w["cnt"] == 1
     assert g["sum_text_len"] is None and w["sum_text_len"] is None
     assert g["nn_text_len"] == 0
+
+
+# --- persisted NON-invertible maintained view (MaintainedGroupAgg) ---------
+
+
+def _mm_agg(df):
+    return df.groupBy("role").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("text").alias("min_text"),
+        F.max(F.length("text")).alias("max_len"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def _mm_rows(df):
+    return sorted(
+        (r["role"], r["cnt"], r["min_text"], r["max_len"], r["n_convs"])
+        for r in df.collect()
+    )
+
+
+def test_maintained_minmax_bootstrap_advance_noop(spark, tmp_path):
+    """Persisted min/max/count-distinct MV: bootstrap once, advance
+    O(touched groups) across TWO further commits — one of which
+    tombstones the row holding a group minimum AND empties another group
+    entirely — and land on exactly the from-scratch aggregate."""
+    from kafka_plugins_spark.operators.incremental import MaintainedGroupAgg
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "aaa", "I", 0),
+                                        ("k2", "user", "zzz", "I", 1),
+                                        ("k3", "asst", "mm", "I", 2)])),
+        batch_id=0,
+    )
+    mv = MaintainedGroupAgg(table, str(tmp_path / "mv"), ["role"], _mm_agg)
+    info = mv.advance()
+    assert info["bootstrapped"] and not info["delta_applied"]
+    assert mv.advance() == {"as_of": info["as_of"], "delta_applied": False,
+                            "bootstrapped": False}
+
+    # commit 2: new group + update that changes a max
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k4", "tool", "cccc", "I", 10),
+                                        ("k2", "user", "zzzzz", "U", 11)])),
+        batch_id=1,
+    )
+    # commit 3: delete the min-holding row of 'user' AND empty 'asst'
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", None, None, "D", 20),
+                                        ("k3", None, None, "D", 21)])),
+        batch_id=2,
+    )
+    info2 = mv.advance()
+    assert info2["delta_applied"] and not info2["bootstrapped"]
+    got = _mm_rows(mv.read())
+    want = _mm_rows(_mm_agg(table.read()))
+    assert got == want, "patched-in-place MV must equal full recompute"
+    roles = [r[0] for r in got]
+    assert "asst" not in roles, "group emptied by delete must disappear"
+    user = dict((r[0], r) for r in got)["user"]
+    assert user[2] == "zzzzz", "deleted minimum must be re-derived, not kept"
+
+
+def test_maintained_minmax_crash_tmp_ignored_and_cleaned(spark, tmp_path):
+    import os
+
+    from kafka_plugins_spark.operators.incremental import MaintainedGroupAgg
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "aaa", "I", 0)])), batch_id=0
+    )
+    mvp = str(tmp_path / "mv")
+    mv = MaintainedGroupAgg(table, mvp, ["role"], _mm_agg)
+    mv.advance()
+    # simulate a crash mid-advance: a leftover .tmp- dir must be invisible
+    os.makedirs(os.path.join(mvp, ".tmp-deadbeef/x"), exist_ok=True)
+    assert mv.as_of() is not None and mv.read().count() == 1
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k2", "asst", "bb", "I", 5)])), batch_id=1
+    )
+    info = mv.advance()
+    assert info["delta_applied"]
+    names = os.listdir(mvp)
+    assert not any(n.startswith(".tmp-") for n in names), "tmp dirs cleaned"
+    assert _mm_rows(mv.read()) == _mm_rows(_mm_agg(table.read()))
+
+
+def test_maintained_minmax_untouched_groups_carried_not_recomputed(spark, tmp_path):
+    """The refresh reads untouched groups from the STORED MV: corrupt the
+    stored row of an untouched group and verify the (wrong) value is
+    carried through — proof the advance did not silently re-aggregate
+    the whole table (the O(delta) contract, asserted behaviorally)."""
+    import os
+
+    from kafka_plugins_spark.operators.incremental import MaintainedGroupAgg
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "aaa", "I", 0),
+                                        ("k2", "asst", "bb", "I", 1)])),
+        batch_id=0,
+    )
+    mvp = str(tmp_path / "mv")
+    mv = MaintainedGroupAgg(table, mvp, ["role"], _mm_agg)
+    mv.advance()
+    # poison the stored state: rewrite with asst.cnt bumped to 99
+    state = mv.read().withColumn(
+        "cnt", F.when(F.col("role") == "asst", F.lit(99)).otherwise(F.col("cnt"))
+    )
+    poisoned = state.collect()
+    sd = mv._state_dir(mv.as_of())
+    import shutil as _sh
+    _sh.rmtree(sd)
+    spark.createDataFrame(poisoned).write.parquet(sd)
+    # next commit touches ONLY 'user'
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k3", "user", "cccc", "I", 10)])), batch_id=1
+    )
+    mv.advance()
+    got = {r["role"]: r["cnt"] for r in mv.read().collect()}
+    assert got["asst"] == 99, "untouched group must come from stored MV, not a rescan"
+    assert got["user"] == 2, "touched group recomputed from the target snapshot"
