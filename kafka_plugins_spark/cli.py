@@ -8,6 +8,9 @@ Subcommands:
   browse   — list lake tables / sample one
   compact  — fold MoR deltas / drop tombstones (table maintenance)
   package  — build kafka_plugins_spark.zip for spark-submit --py-files
+  report   — the on-call JSON: fence watermarks + backfill gaps,
+             consumer lag (retention-aware), MV staleness, compaction
+             signals — all driver-side metadata, zero Spark jobs
 
 On a real cluster drop the ``--cores`` flag (the session builder only
 pins a master when given one via SPARK_GRAFT_CPUS/--cores; spark-submit's
@@ -81,6 +84,23 @@ def main(argv: list[str] | None = None) -> int:
 
     pk = sub.add_parser("package", help="zip the library for spark-submit --py-files")
     pk.add_argument("--out", default="kafka_plugins_spark.zip")
+
+    rr = sub.add_parser(
+        "report",
+        help="one pageable JSON: fence watermarks + backfill gaps, consumer "
+             "lag, MV staleness, compaction signals (zero Spark jobs)",
+    )
+    rr.add_argument("--table", required=True)
+    rr.add_argument("--events", default=None,
+                    help="event-log path for lag (footer-stats end offsets)")
+    rr.add_argument("--end-offsets", default=None,
+                    help='JSON {partition: end}, e.g. a broker endOffsets answer')
+    rr.add_argument("--start-offsets", default=None,
+                    help='JSON {partition: start} — broker beginningOffsets; '
+                         "makes lag retention-aware")
+    rr.add_argument("--mv", action="append", default=[],
+                    help="maintained-view state dir (repeatable); reports "
+                         "as_of + staleness vs the table snapshot")
 
     args = p.parse_args(argv)
     t0 = time.monotonic()
@@ -207,6 +227,24 @@ def main(argv: list[str] | None = None) -> int:
                         full = os.path.join(dirpath, f)
                         zf.write(full, os.path.relpath(full, parent))
         print(json.dumps({"out": args.out, "files": len(zipfile.ZipFile(args.out).namelist())}))
+        return 0
+
+    if args.cmd == "report":
+        spark = get_spark("cdc-report")
+        from kafka_plugins_spark.connector import ops_report
+        from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+        def _offsets(s):
+            return None if s is None else {int(k): int(v) for k, v in json.loads(s).items()}
+
+        rep = ops_report(
+            ParquetSnapshotTable(spark, args.table),
+            events_path=args.events,
+            end_offsets=_offsets(args.end_offsets),
+            start_offsets=_offsets(args.start_offsets),
+            mv_paths=args.mv or None,
+        )
+        print(json.dumps(rep, sort_keys=True))
         return 0
 
     if args.cmd == "browse":

@@ -71,6 +71,99 @@ class LakeConnector:
         return t.read().limit(limit)
 
 
+def ops_report(
+    table: ParquetSnapshotTable,
+    events_path: str | None = None,
+    end_offsets: dict[int, int] | None = None,
+    start_offsets: dict[int, int] | None = None,
+    mv_paths: list[str] | None = None,
+) -> dict:
+    """One pageable JSON document for everything an on-call operator
+    asks of an ingest table — the unified surface the reference lacks
+    (its ``KafkaPartitionOffsets`` file must be fetched and decoded by
+    hand; provenance ``KafkaPartitionOffsets.java:69-95``):
+
+    - **commit state**: snapshot/batch ids, write mode, rows applied,
+      retained snapshots, live data dirs (the compact() trigger for MoR);
+    - **fence watermarks**: per-partition contiguous watermark plus the
+      FULL delivered interval set, with backfill gaps listed explicitly
+      (``gaps`` is what to re-ingest — a high-watermark report would
+      hide them);
+    - **consumer lag** vs the event log (or broker-provided end/start
+      offsets — retention-aware), with a single ``caught_up`` bool to
+      alert on;
+    - **materialized views**: each MV's ``as_of`` snapshot vs the
+      table's current one, with a ``stale`` flag to page on.
+
+    Driver-only metadata throughout: snapshot JSON, parquet footer
+    stats, MV state dirs — ZERO Spark jobs, so it is safe to poll from
+    a cron/alerting loop against a production table.
+    """
+    from kafka_plugins_spark.sources.events import consumer_lag
+
+    snap = table.current_snapshot()
+    delivered = table.delivered_ranges()
+    gaps: dict[str, list[list[int]]] = {}
+    fence: dict[str, dict] = {}
+    for p, iv in sorted(delivered.items()):
+        holes = [
+            [iv[i][1], iv[i + 1][0]] for i in range(len(iv) - 1) if iv[i][1] < iv[i + 1][0]
+        ]
+        if holes:
+            gaps[str(p)] = holes
+        fence[str(p)] = {
+            "intervals": [[int(a), int(b)] for a, b in iv],
+            "watermark": int(iv[0][1]) if iv and iv[0][0] <= 0 else 0,
+        }
+    out: dict = {
+        "table": table.path,
+        "snapshot_id": None if snap is None else snap["snapshot_id"],
+        "batch_id": None if snap is None else snap.get("batch_id"),
+        "write_mode": table._write_mode(),
+        "n_buckets": None if snap is None else snap.get("n_buckets"),
+        "rows_applied": None if snap is None else snap.get("rows_applied"),
+        "snapshots_retained": len(table.snapshots()),
+        "live_data_dirs": table.live_data_dirs(),
+        "fence": fence,
+        "gaps": gaps,
+    }
+    if events_path is not None or end_offsets is not None:
+        lag = consumer_lag(
+            table, events_path, end_offsets=end_offsets, start_offsets=start_offsets
+        )
+        out["lag"] = {str(p): v for p, v in lag.items()}
+        out["caught_up"] = all(v["lag"] == 0 for v in lag.values())
+    if mv_paths:
+        views = []
+        for mp in mv_paths:
+            # same state-dir layout _MaintainedState publishes: the newest
+            # state-NNNNNN dir names the table snapshot the MV reflects
+            mp = mp.rstrip("/")
+            states = (
+                sorted(
+                    int(n.split("-", 1)[1])
+                    for n in os.listdir(mp)
+                    if n.startswith("state-")
+                )
+                if os.path.isdir(mp)
+                else []
+            )
+            asof = states[-1] if states else None
+            views.append(
+                {
+                    "path": mp,
+                    "as_of": asof,
+                    "stale": (
+                        None
+                        if snap is None or asof is None
+                        else asof < snap["snapshot_id"]
+                    ),
+                }
+            )
+        out["maintained_views"] = views
+    return out
+
+
 class KafkaTopicConnector:
     """Topic-side test/browse/sample — the reference's KafkaConnector
     proper (``KafkaConnector.java:81-134``: ``test`` lists topics,

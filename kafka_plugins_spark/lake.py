@@ -815,11 +815,26 @@ class ParquetSnapshotTable:
                 )
             )
             # O(n_buckets) driver rows — the manifest diff that makes the
-            # rewrite partial.
-            touched = sorted(
-                int(r["_b"])
-                for r in batch_rows.select(bucket_of.alias("_b")).distinct().collect()
+            # rewrite partial. The same pass validates the key contract:
+            # xxhash64(NULL) returns the SEED (42), not NULL, so a NULL
+            # conv_id would otherwise be SILENTLY stored under bucket
+            # pmod(42, n) — unreachable by read_key, unjoinable by later
+            # merges (r5 advice asked for a loud contract error here).
+            touched_rows = (
+                batch_rows.select(
+                    bucket_of.alias("_b"), F.col("conv_id").isNull().alias("_null")
+                )
+                .distinct()
+                .collect()
             )
+            if any(r["_null"] for r in touched_rows):
+                raise ValueError(
+                    "bucketed merge requires a non-null conv_id on every row "
+                    "(xxhash64(NULL) degenerates to the seed, silently "
+                    "misfiling the row); fix the producer or route null-key "
+                    "rows to a DLQ before merge_into"
+                )
+            touched = sorted({int(r["_b"]) for r in touched_rows})
             # Reopening a cow/mor table as bucketed is a one-time FULL
             # conversion: every stored row folds into buckets (otherwise
             # the new manifest would reference only the batch's buckets
@@ -895,12 +910,24 @@ class ParquetSnapshotTable:
             )
             if converting:
                 # every stored row was rewritten — the manifest is exactly
-                # what the write produced
-                manifest = {
-                    name.split("=", 1)[1]: os.path.join(data_path, name)
-                    for name in sorted(os.listdir(data_path))
-                    if name.startswith("_bucket=")
-                }
+                # what the write produced. Defensive: only integer bucket
+                # suffixes may enter the manifest — a non-integer dir
+                # (e.g. __HIVE_DEFAULT_PARTITION__ from a future NULL
+                # bucket expression) stored as a manifest key would crash
+                # every later _snapshot_paths read far from the cause
+                # (r5 advice) — fail the conversion loudly instead.
+                manifest = {}
+                for name in sorted(os.listdir(data_path)):
+                    if not name.startswith("_bucket="):
+                        continue
+                    suffix = name.split("=", 1)[1]
+                    if not suffix.lstrip("-").isdigit():
+                        raise ValueError(
+                            "cannot convert table to bucketed mode: stored rows "
+                            "with NULL conv_id have no bucket (found partition "
+                            f"dir {name!r}); delete or repair them first"
+                        )
+                    manifest[suffix] = os.path.join(data_path, name)
             else:
                 for b in touched:
                     bdir = os.path.join(data_path, f"_bucket={b}")

@@ -133,8 +133,37 @@ def publish_changes(changes: DataFrame, path: str, num_partitions: int = 4) -> N
       always precedes its ``update_after`` and a task retry reproduces
       identical offsets (no monotonically_increasing_id);
     - value is the JSON of the full change row including
-      ``_change_type`` — self-describing, replayable into any sink.
+      ``_change_type`` — self-describing, replayable into any sink;
+    - successive publishes to the SAME path APPEND, continuing each
+      partition's offsets from the prior publish's end (read from
+      parquet footer stats, no Spark job) — a consumer tailing the
+      topic log sees one monotone offset sequence across increments,
+      exactly like a real topic (r5 advice: overwrite restarted
+      offsets at 0 and clobbered earlier increments). Offsets within
+      ONE publish are retry-deterministic; re-publishing the same
+      increment twice appends it twice — idempotence across publishes
+      is the caller's changes_between bookkeeping, as with any
+      at-least-once producer.
     """
+    import os
+
+    from kafka_plugins_spark.sources.events import partition_end_offsets_from_metadata
+
+    base: dict[int, int] = {}
+    if os.path.isdir(path):
+        got = partition_end_offsets_from_metadata(path)
+        if got is None:  # footers unusable → one metadata-size Spark agg
+            prior = changes.sparkSession.read.parquet(path)
+            got = {
+                int(r["partition"]): int(r["hi"]) + 1
+                for r in prior.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+            }
+        base = got
+    if base:
+        bmap = F.create_map(*[F.lit(x) for kv in sorted(base.items()) for x in kv])
+        off_base = F.coalesce(bmap[F.col("partition")], F.lit(0)).cast("long")
+    else:
+        off_base = F.lit(0).cast("long")
     rank = F.when(F.col("_change_type") == "update_before", F.lit(0)).otherwise(F.lit(1))
     payload = [c for c in changes.columns]
     out = changes.select(
@@ -146,10 +175,10 @@ def publish_changes(changes: DataFrame, path: str, num_partitions: int = 4) -> N
     )
     w = Window.partitionBy("partition").orderBy("key", "_turn", "_rank", "value")
     out = (
-        out.withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        out.withColumn("offset", (F.row_number().over(w) - 1 + off_base).cast("long"))
         .drop("_turn", "_rank")
     )
-    out.repartition("partition").write.mode("overwrite").partitionBy("partition").parquet(path)
+    out.repartition("partition").write.mode("append").partitionBy("partition").parquet(path)
 
 
 def kafka_sink_options(brokers: str, topic: str, async_mode: bool = False) -> dict[str, str]:

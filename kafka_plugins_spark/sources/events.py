@@ -112,6 +112,7 @@ def consumer_lag(
     table,
     events_path: str | None = None,
     end_offsets: dict[int, int] | None = None,
+    start_offsets: dict[int, int] | None = None,
 ) -> dict[int, dict[str, int]]:
     """Consumer-lag report: how far the table's committed state trails
     the event log's end offsets, per partition — the operational signal
@@ -135,6 +136,15 @@ def consumer_lag(
     Spark job; one aggregate fallback), or pass ``end_offsets``
     directly (a broker's endOffsets answer). Partitions committed but
     absent from the log (retention) report lag 0, never negative.
+
+    ``start_offsets`` (a broker's beginningOffsets answer) bounds the
+    report to ``[start, end)`` per partition: a retention-trimmed log —
+    the common production case, where offsets below the trim point no
+    longer exist and can never be delivered — would otherwise report a
+    permanently inflated lag and watermark 0 forever (r5 advice).
+    Offsets below ``start`` count as neither lag nor watermark holes;
+    the watermark of a trimmed partition with no commits is ``start``,
+    and delivered intervals entirely below ``start`` are ignored.
     """
     if end_offsets is not None:
         ends = dict(end_offsets)
@@ -144,16 +154,19 @@ def consumer_lag(
         ends = partition_end_offsets_from_metadata(events_path)
         if ends is None:
             ends = partition_end_offsets(scan_events(table.spark, events_path))
+    starts = dict(start_offsets or {})
     delivered = table.delivered_ranges()
     out: dict[int, dict[str, int]] = {}
     for p in sorted(set(ends) | set(delivered)):
-        end = ends.get(p, 0)
-        iv = delivered.get(p, [])
-        covered = sum(max(0, min(e, end) - max(s, 0)) for s, e in iv)
-        contiguous = iv[0][1] if iv and iv[0][0] <= 0 else 0
+        start = max(0, starts.get(p, 0))
+        end = max(ends.get(p, 0), start)
+        iv = [(s, e) for s, e in delivered.get(p, []) if e > start]
+        covered = sum(max(0, min(e, end) - max(s, start)) for s, e in iv)
+        contiguous = iv[0][1] if iv and iv[0][0] <= start else start
         out[p] = {
+            "start_offset": start,
             "end_offset": end,
             "watermark": contiguous,
-            "lag": max(0, end - covered),
+            "lag": max(0, (end - start) - covered),
         }
     return out

@@ -269,6 +269,29 @@ def test_point_lookup_schedules_no_bucket_job(spark, tmp_path):
     assert [r["text"] for r in df_warm.collect()] == ["t3"]
 
 
+def test_bucketed_merge_rejects_null_conv_id(spark, tmp_path):
+    """r5 advice: a NULL conv_id (envelope-contract violation) was
+    SILENTLY stored — xxhash64(NULL) returns the seed, so the row lands
+    in bucket pmod(42, n), unreachable by read_key and unjoinable by
+    later merges. It must raise a clear contract error at merge entry,
+    leaving the table untouched."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a", "I", 0)])), batch_id=0
+    )
+    bad = _batch(spark, [("k2", "user", "b", "I", 1)]).withColumn(
+        "conv_id",
+        F.when(F.col("conv_id") == "k2", F.lit(None).cast("string")).otherwise(
+            F.col("conv_id")
+        ),
+    )
+    with pytest.raises(ValueError, match="non-null conv_id"):
+        table.merge_into(last_writer_wins(bad), batch_id=1)
+    # the failed commit left no trace: same snapshot, same rows
+    assert table.current_snapshot()["batch_id"] == 0
+    assert [r["conv_id"] for r in table.read().collect()] == ["k1"]
+
+
 @pytest.mark.parametrize("prior_mode", ["cow", "mor"])
 def test_reopen_as_bucketed_converts_whole_table(spark, tmp_path, prior_mode):
     """Reopening a cow/mor table as bucketed must fold EVERY stored row

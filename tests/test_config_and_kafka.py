@@ -141,12 +141,49 @@ def test_consumer_lag_counts_gaps_not_high_watermark(spark, tmp_path):
     )
     assert table.delivered_ranges()[0] == [(0, 10), (20, 30)]
     lag = consumer_lag(table, end_offsets={0: 30})
-    assert lag[0] == {"end_offset": 30, "watermark": 10, "lag": 10}
+    assert lag[0] == {"start_offset": 0, "end_offset": 30, "watermark": 10, "lag": 10}
     # filling the hole zeroes the lag and advances the watermark
     table.merge_into(
         last_writer_wins(_batch(spark, [(f"c{i}", "user", "x", "I", 10 + i) for i in range(10)])),
         batch_id=2,
     )
     assert consumer_lag(table, end_offsets={0: 30})[0] == {
-        "end_offset": 30, "watermark": 30, "lag": 0,
+        "start_offset": 0, "end_offset": 30, "watermark": 30, "lag": 0,
+    }
+
+
+def test_consumer_lag_respects_retention_trimmed_start(spark, tmp_path):
+    """r5 advice: a retention-trimmed log (nonzero beginning offset —
+    the common production case) must not report offsets below the trim
+    point as lag forever, and the watermark of a caught-up consumer must
+    not stick at 0. Lag/watermark are computed over [start, end)."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from kafka_plugins_spark.sources.events import consumer_lag
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    # consumer has only what survives retention: offsets [20, 30)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"a{i}", "user", "x", "I", 20 + i) for i in range(10)])),
+        batch_id=0,
+    )
+    # without start offsets the trimmed [0, 20) looks like permanent lag
+    naive = consumer_lag(table, end_offsets={0: 30})
+    assert naive[0]["lag"] == 20 and naive[0]["watermark"] == 0
+    # with the broker's beginningOffsets the consumer is caught up
+    trimmed = consumer_lag(table, end_offsets={0: 30}, start_offsets={0: 20})
+    assert trimmed[0] == {
+        "start_offset": 20, "end_offset": 30, "watermark": 30, "lag": 0,
+    }
+    # a never-consumed trimmed partition: watermark = start, lag = end-start
+    empty = ParquetSnapshotTable(spark, str(tmp_path / "e"))
+    rep = consumer_lag(empty, end_offsets={0: 30}, start_offsets={0: 20})
+    assert rep[0] == {
+        "start_offset": 20, "end_offset": 30, "watermark": 20, "lag": 10,
+    }
+    # delivered intervals entirely below start are ignored, partial
+    # overlap counts only the in-range offsets
+    assert consumer_lag(table, end_offsets={0: 30}, start_offsets={0: 25})[0] == {
+        "start_offset": 25, "end_offset": 30, "watermark": 30, "lag": 0,
     }

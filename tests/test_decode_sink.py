@@ -307,3 +307,40 @@ def test_publish_changes_round_trip_orders_pre_image_first(spark, tmp_path):
     # value is self-describing JSON of the full change row
     d = json.loads(next(r["value"] for r in by_key["k2"]))
     assert d["_change_type"] == "delete" and d["conv_id"] == "k2"
+
+
+def test_publish_changes_appends_and_continues_offsets(spark, tmp_path):
+    """r5 advice: publishing successive changes_between increments to
+    the SAME topic log must not clobber earlier ones — each publish
+    appends, continuing every partition's offsets from the prior end,
+    so a consumer tailing the log sees one monotone dense sequence."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from kafka_plugins_spark.sink import publish_changes
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user", "a", "I", i) for i in range(6)])),
+        batch_id=0,
+    )
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user", "b", "U", 10 + i) for i in range(6)])),
+        batch_id=1,
+    )
+    r3 = table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", None, None, "D", 20 + i) for i in range(3)])),
+        batch_id=2,
+    )
+    log = str(tmp_path / "log")
+    publish_changes(table.changes_between(r1.snapshot_id, r2.snapshot_id), log)
+    first = {(r["partition"], r["offset"]) for r in spark.read.parquet(log).collect()}
+    publish_changes(table.changes_between(r2.snapshot_id, r3.snapshot_id), log)
+    back = spark.read.parquet(log).collect()
+    # nothing from the first publish was clobbered
+    assert first <= {(r["partition"], r["offset"]) for r in back}
+    assert len(back) == 12 + 3  # 6 update pairs + 3 deletes
+    # offsets stay dense and monotone per partition ACROSS publishes
+    for p in {r["partition"] for r in back}:
+        offs = sorted(r["offset"] for r in back if r["partition"] == p)
+        assert offs == list(range(len(offs))), f"partition {p}: {offs}"
