@@ -1610,3 +1610,124 @@ class IcebergMergeBackend:
                 "CommitMetadata.withCommitProperties (Iceberg >= 1.2) around the MERGE. "
                 "Refusing to continue with an unfenced table."
             )
+
+
+def snapshot_diff_changes(
+    before: DataFrame | None,
+    after: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDF-shaped changelog from two VISIBLE table states: the row-level
+    changes that turn ``before`` into ``after``, with the same lowercase
+    ``_change_type`` vocabulary as :meth:`ParquetSnapshotTable.changes_between`
+    (``insert | delete | update_before | update_after``; updates emit a
+    pre/post image pair) — so everything downstream of changes_between
+    (:class:`~kafka_plugins_spark.operators.incremental.MaintainedCountSum`
+    delta algebra, ``publish_changes``) consumes either source unchanged.
+
+    This is the engine-agnostic fallback: exact for ANY two states of
+    any table, at the cost of one full-outer key join over both sides —
+    O(states), not O(delta). The sandbox table never needs it
+    (``changes_between`` prunes to new delta dirs / differing buckets);
+    :class:`IcebergChangelogAdapter` uses it where Iceberg's own
+    incremental ``create_changelog_view`` procedure isn't available or
+    can't compute update pairs (it needs identifier fields declared).
+    ``before=None`` diffs against the empty table (all inserts).
+    """
+    keys = list(key_cols or KEY_COLUMNS)
+    payload = [c for c in after.columns]
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.struct(*[F.col(c) for c in payload]).alias(f"_{tag}_row"),
+            F.lit(True).alias(f"_{tag}_m"),
+        )
+
+    if before is None:
+        return after.withColumn("_change_type", F.lit("insert"))
+    j = tagged(before, "a").join(tagged(after, "b"), keys, "full_outer")
+    in_a = F.coalesce(F.col("_a_m"), F.lit(False))
+    in_b = F.coalesce(F.col("_b_m"), F.lit(False))
+    chg = T.StructType(
+        [f for f in after.schema.fields]
+        + [T.StructField("_change_type", T.StringType(), False)]
+    )
+
+    def img(src: str, kind: str):
+        return F.struct(
+            *[F.col(f"_{src}_row.{c}").alias(c) for c in payload],
+            F.lit(kind).alias("_change_type"),
+        )
+
+    changes = (
+        F.when(~in_a & in_b, F.array(img("b", "insert")))
+        .when(in_a & ~in_b, F.array(img("a", "delete")))
+        .when(
+            in_a & in_b & ~F.col("_a_row").eqNullSafe(F.col("_b_row")),
+            F.array(img("a", "update_before"), img("b", "update_after")),
+        )
+        .otherwise(F.array().cast(T.ArrayType(chg)))
+    )
+    return (
+        j.select(F.explode(changes).alias("_c"))
+        .select("_c.*")
+    )
+
+
+class IcebergChangelogAdapter:
+    """Drive the maintained-MV lifecycle against a REAL Iceberg table.
+
+    :class:`~kafka_plugins_spark.operators.incremental.MaintainedCountSum`
+    and :class:`MaintainedGroupAgg` advance any table exposing the
+    snapshot trio ``current_snapshot() / read(snapshot_id) /
+    changes_between(a, b)``. This adapter provides that trio over an
+    Iceberg catalog table (jar-gated — exercised by
+    ``tests/iceberg_real_driver.py`` step 6 when a runtime jar is
+    present):
+
+    - ``current_snapshot`` — newest CURRENT-ANCESTRY snapshot from
+      ``.history`` (same rollback discipline as the fence: a snapshot on
+      an abandoned lineage must never become an MV's as_of, or the MV
+      diverges silently after ``rollback_to_snapshot``);
+    - ``read`` — time travel, ``VERSION AS OF``;
+    - ``changes_between`` — :func:`snapshot_diff_changes` over the two
+      time-travel reads with soft tombstones (``_op = 'D'``) filtered to
+      match the sandbox table's "visible rows" contract. Exact for any
+      snapshot pair including compactions/rewrites in between; swap in
+      Iceberg's ``create_changelog_view`` (with identifier fields
+      declared) when O(delta) incremental reads matter more than zero
+      setup.
+    """
+
+    def __init__(self, spark: SparkSession, table_identifier: str):
+        self.spark = spark
+        self.table = table_identifier
+
+    def current_snapshot(self) -> dict | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.history "
+            "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
+        ).collect()
+        return None if not rows else {"snapshot_id": int(rows[0][0])}
+
+    def _visible(self, df: DataFrame) -> DataFrame:
+        # same contract as ParquetSnapshotTable.read: tombstones
+        # filtered, system columns hidden — so the diff (and the MV
+        # aggregates built on it) see only payload rows
+        if "_op" in df.columns:
+            df = df.filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
+        return df.drop("_op", "_partition", "_offset")
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is None:
+            return self._visible(self.spark.table(self.table))
+        return self._visible(
+            self.spark.sql(f"SELECT * FROM {self.table} VERSION AS OF {int(snapshot_id)}")
+        )
+
+    def changes_between(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        before = None if from_snapshot_id is None else self.read(from_snapshot_id)
+        return snapshot_diff_changes(before, self.read(to_snapshot_id))

@@ -13,6 +13,15 @@ hits first, in order:
 3. replay of batch 0 — must be skipped entirely by the fence.
 4. ``rollback_to_snapshot`` + ``pick_delivered`` — the fence must revert
    with the ancestry so the rolled-back batch re-applies.
+5. bucketed write-mode mapping — a table created with
+   ``recommended_partitioning("bucketed", n)`` (the ``bucket(n, conv_id)``
+   transform) + ``recommended_table_properties("bucketed")`` must accept
+   fenced MERGEs, spread rows across bucket partitions, and fence a
+   replay, proving all THREE sandbox write modes map to real DDL.
+6. maintained-MV advance — ``IcebergChangelogAdapter`` +
+   ``MaintainedCountSum`` bootstrap on the first snapshot and DELTA-
+   advance over the second; result must equal the from-scratch
+   aggregate of the current table state.
 
 Prints ``ICEBERG-REAL-OK`` on success; any assertion or API mismatch
 exits nonzero.
@@ -148,6 +157,70 @@ def main() -> None:
     }
     assert got == {("c1", 0): "hello", ("c2", 0): "final", ("c3", 0): "new"}, got
     print("rollback: fence reverted with ancestry; batch 1 re-applied; state converged")
+
+    # 5. bucketed write-mode mapping: bucket(n, conv_id) DDL + fenced MERGEs
+    ident_b = "local.db.transcripts_bucketed"
+    props_b = ", ".join(
+        f"'{k}'='{v}'"
+        for k, v in IcebergMergeBackend.recommended_table_properties("bucketed").items()
+    )
+    part_b = IcebergMergeBackend.recommended_partitioning("bucketed", 16)
+    spark.sql(
+        f"""CREATE TABLE {ident_b} (
+            conv_id STRING, turn_idx INT, role STRING, text STRING,
+            tool STRING, ts TIMESTAMP, _op STRING, _partition INT, _offset BIGINT
+        ) USING iceberg {part_b} TBLPROPERTIES ({props_b})"""
+    )
+    backend_b = IcebergMergeBackend(ident_b)
+    wide = batch([(f"c{i}", 0, "user", f"t{i}", None, "U", 0, i) for i in range(40)])
+    rb0 = backend_b.merge_into(spark, last_writer_wins(wide), batch_id=0, ranges={0: (0, 40)})
+    assert not rb0.skipped
+    upd = batch([("c1", 0, "user", "edited", None, "U", 0, 40),
+                 ("c2", 0, None, None, None, "D", 0, 41)])
+    rb1 = backend_b.merge_into(spark, last_writer_wins(upd), batch_id=1, ranges={0: (40, 42)})
+    assert not rb1.skipped
+    # the bucket transform actually partitions: >1 bucket dir holds data
+    n_parts = spark.sql(f"SELECT count(*) FROM {ident_b}.partitions").collect()[0][0]
+    assert n_parts > 1, f"bucket(16, conv_id) produced {n_parts} partition(s)"
+    got_b = {
+        r["conv_id"]: r["text"]
+        for r in spark.table(ident_b).filter(F.col("_op") != "D").collect()
+    }
+    assert got_b["c1"] == "edited" and "c2" not in got_b and len(got_b) == 39, got_b
+    assert backend_b.merge_into(
+        spark, last_writer_wins(wide), batch_id=0, ranges={0: (0, 40)}
+    ).skipped, "bucketed replay must be fenced"
+    print(f"bucketed: {part_b} DDL accepted; {n_parts} bucket partitions; "
+          "MERGE converged; replay fenced")
+
+    # 6. maintained-MV advance through the changelog adapter
+    from kafka_plugins_spark.lake import IcebergChangelogAdapter
+    from kafka_plugins_spark.operators.incremental import (
+        MaintainedCountSum,
+        count_sum_aggregate,
+    )
+
+    adapter = IcebergChangelogAdapter(spark, ident_b)
+    mv_dir = tempfile.mkdtemp(prefix="iceberg_mv_")
+    mv = MaintainedCountSum(adapter, mv_dir, ["role"], sum_cols=["turn_idx"])
+    # bootstrap reflects the CURRENT snapshot; prove the DELTA path by
+    # committing one more batch and advancing again
+    info = mv.advance()
+    assert info["bootstrapped"], info
+    more = batch([("c50", 0, "assistant", "new", None, "U", 0, 42),
+                  ("c3", 0, None, None, None, "D", 0, 43)])
+    assert not backend_b.merge_into(
+        spark, last_writer_wins(more), batch_id=2, ranges={0: (42, 44)}
+    ).skipped
+    info = mv.advance()
+    assert info["delta_applied"] and not info["bootstrapped"], info
+    got_mv = sorted(tuple(r) for r in mv.read().collect())
+    want_mv = sorted(
+        tuple(r)
+        for r in count_sum_aggregate(adapter.read(), ["role"], ["turn_idx"]).collect()
+    )
+    assert got_mv == want_mv, f"MV diverged: {got_mv} != {want_mv}"
+    print("mv: bootstrap + O(delta) advance against the real catalog == full recompute")
 
     print("ICEBERG-REAL-OK")
     spark.stop()

@@ -320,3 +320,104 @@ def test_recommended_partitioning():
     )
     with pytest.raises(ValueError):
         IcebergMergeBackend.recommended_partitioning("nope")
+
+
+def test_snapshot_diff_changes_matches_changes_between(spark, tmp_path):
+    """The engine-agnostic snapshot diff (what IcebergChangelogAdapter
+    feeds the maintained-MV lifecycle on a real catalog) must produce
+    the IDENTICAL changelog as the sandbox table's pruned
+    changes_between for the same snapshot pair — inserts, deletes, and
+    update pre/post pairs included."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable, snapshot_diff_changes
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from pyspark.sql import functions as F
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user", "a", "I", i) for i in range(8)])),
+        batch_id=0,
+    )
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [
+            ("k0", "user", "edited", "U", 10),       # update
+            ("k1", None, None, "D", 11),             # delete
+            ("k9", "user", "new", "I", 12),          # insert
+        ])),
+        batch_id=1,
+    )
+
+    diff = snapshot_diff_changes(table.read(r1.snapshot_id), table.read(r2.snapshot_id))
+    ref = table.changes_between(r1.snapshot_id, r2.snapshot_id)
+    assert sorted(diff.columns) == sorted(ref.columns)
+    cols = sorted(diff.columns)
+    got = sorted(tuple(r) for r in diff.select(*cols).collect())
+    want = sorted(tuple(r) for r in ref.select(*cols).collect())
+    assert got == want and len(want) == 4  # insert + delete + update pair
+    # before=None → everything is an insert
+    full = snapshot_diff_changes(None, table.read(r2.snapshot_id))
+    assert full.filter(F.col("_change_type") != "insert").count() == 0
+    assert full.count() == table.read(r2.snapshot_id).count()
+
+
+def test_maintained_mv_advances_through_adapter_trio(spark, tmp_path):
+    """MaintainedCountSum only needs the current_snapshot/read/
+    changes_between trio — proven by advancing it through an adapter
+    whose changelog comes from snapshot_diff_changes (exactly what
+    IcebergChangelogAdapter does against a real catalog, minus the
+    VERSION AS OF plumbing). The advance must be a DELTA apply, and the
+    result must equal the from-scratch aggregate."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable, snapshot_diff_changes
+    from kafka_plugins_spark.operators.incremental import (
+        MaintainedCountSum,
+        count_sum_aggregate,
+    )
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from pyspark.sql import functions as F
+    from tests.test_lake import _batch
+
+    inner = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+
+    class DiffAdapter:
+        """The IcebergChangelogAdapter shape, over the sandbox table."""
+
+        def __init__(self, table):
+            self.table = table
+            self.spark = table.spark
+
+        def current_snapshot(self):
+            return self.table.current_snapshot()
+
+        def read(self, snapshot_id=None):
+            return self.table.read(snapshot_id)
+
+        def changes_between(self, a, b=None):
+            before = None if a is None else self.read(a)
+            return snapshot_diff_changes(before, self.read(b))
+
+    adapter = DiffAdapter(inner)
+    mv = MaintainedCountSum(adapter, str(tmp_path / "mv"), ["role"], sum_cols=["turn_idx"])
+
+    inner.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user" if i % 2 else "asst", "a", "I", i)
+                                        for i in range(10)])),
+        batch_id=0,
+    )
+    info = mv.advance()
+    assert info["bootstrapped"]
+    inner.merge_into(
+        last_writer_wins(_batch(spark, [
+            ("k1", "asst", "moved", "U", 20),   # group-crossing update
+            ("k2", None, None, "D", 21),        # delete
+            ("knew", "user", "x", "I", 22),     # insert
+        ])),
+        batch_id=1,
+    )
+    info = mv.advance()
+    assert info["delta_applied"] and not info["bootstrapped"]
+    got = sorted(tuple(r) for r in mv.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in count_sum_aggregate(adapter.read(), ["role"], ["turn_idx"]).collect()
+    )
+    assert got == want
