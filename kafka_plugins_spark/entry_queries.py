@@ -2236,6 +2236,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": q_knn_label_vote,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    # the one family with no scale-path variant above — keep its driver
+    # row so every operator family re-proves each round (uses the 50th
+    # and last slot under the driver cap)
+    "dedup_simhash": q_dedup_simhash,
 }
 
 # Subsumed/baseline variants: pytest-verified against the same oracles
@@ -2247,7 +2251,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_counts": q_event_counts,
     "doc_stats": q_doc_stats,
     "bpe_encode": q_bpe_encode,
-    "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "emb_neardup": q_emb_neardup,
 }

@@ -123,3 +123,29 @@ def test_cli_report_golden_on_gapped_backfill(spark, tmp_path, capsys):
     assert rep["caught_up"] is True and rep["gaps"] == {}
     assert rep["fence"]["0"]["watermark"] == 30
     assert rep["maintained_views"] == [{"path": mv_dir, "as_of": 2, "stale": False}]
+
+
+def test_ops_report_schedules_zero_spark_jobs(spark, tmp_path):
+    """The report is polled from alerting loops, so its zero-Spark-jobs
+    claim is a contract: snapshot JSON + parquet footers + MV state-dir
+    listings only. Pin it with the scheduler's job counter (end offsets
+    passed broker-style; the footer-stats path is equally job-free but
+    exercised elsewhere)."""
+    from kafka_plugins_spark.connector import ops_report
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"k{i}", "user", "x", "I", i) for i in range(5)])),
+        batch_id=0,
+    )
+
+    def njobs():
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+    j0 = njobs()
+    rep = ops_report(table, end_offsets={0: 5}, start_offsets={0: 0})
+    assert njobs() == j0, "ops_report must schedule zero Spark jobs"
+    assert rep["caught_up"] is True and rep["snapshot_id"] == 0
