@@ -74,17 +74,24 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="bucketed_sf1_", dir=base)
     out: dict = {"n_conversations": n_conv, "n_buckets": N_BUCKETS, "cores": cores}
     try:
-        ev_dir = os.path.join(root, "events")
+        # SF1_EVENTS reuses an already-generated log (the ~15-min datagen
+        # is the expensive fixed cost; the first attempt of this run was
+        # OOM-killed by host co-tenancy after datagen completed)
+        ev_dir = os.environ.get("SF1_EVENTS") or os.path.join(root, "events")
         t0 = time.monotonic()
-        write_events(
-            generate_events(spark, n_conversations=n_conv, n_partitions=32, seed=17),
-            ev_dir,
-        )
-        events = scan_events(spark, ev_dir).persist()
+        if not os.path.isdir(ev_dir):
+            write_events(
+                generate_events(spark, n_conversations=n_conv, n_partitions=32, seed=17),
+                ev_dir,
+            )
+        # no .persist(): the log lives on tmpfs and re-scans are cheap;
+        # caching 33M deserialized rows on top of the merge's own persist
+        # doubles peak heap for nothing
+        events = scan_events(spark, ev_dir)
         n_events = events.count()
         out["n_events"] = n_events
         out["datagen_wall_s"] = round(time.monotonic() - t0, 1)
-        print(f"generated {n_events} events in {out['datagen_wall_s']}s", flush=True)
+        print(f"events ready: {n_events} in {out['datagen_wall_s']}s", flush=True)
         hi = int(events.agg(F.max("offset")).collect()[0][0])
 
         # trickle phases: bucket-aligned (1 expected touch), then two
@@ -154,9 +161,11 @@ def main() -> None:
                 {k: v for k, v in res.items() if k != "trickles"}), flush=True)
         print("RESULT " + json.dumps(out), flush=True)
     finally:
-        events.unpersist()
         shutil.rmtree(root, ignore_errors=True)
-        spark.stop()
+        try:
+            spark.stop()
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":
