@@ -35,6 +35,8 @@ class IngestStream:
     table: ParquetSnapshotTable
     commits: list[CommitResult] = field(default_factory=list)
     compactions: list[CommitResult] = field(default_factory=list)
+    #: one advance() info dict per (committed batch × maintained view)
+    mv_advances: list[dict] = field(default_factory=list)
 
     def await_and_stop(self) -> None:
         """Drain everything currently available, then stop (test harness)."""
@@ -76,6 +78,7 @@ def start_ingest_stream(
     auto_compact_every: int | None = None,
     wire: bool = False,
     dlq_path: str | None = None,
+    maintained_views: list | None = None,
 ) -> IngestStream:
     """Wire the streaming DAG and start it.
 
@@ -120,6 +123,20 @@ def start_ingest_stream(
     ``dlq_path`` (or clear it), or dedupe reads by (partition, offset) —
     offsets are unique per source, so the quarantined ROWS are identical
     either way.
+
+    ``maintained_views=[mv, ...]`` (``MaintainedCountSum`` /
+    ``MaintainedGroupAgg`` instances over the SAME table path) advances
+    each view inside the batch loop right after its commit lands, so MVs
+    stay current with the stream with no external scheduler — the
+    production composition of ingest + incremental maintenance.
+    Exactly-once falls out of the existing contracts: an advance targets
+    the table's CURRENT snapshot and republishes idempotently per target
+    id, so if an epoch fails mid-advance, Spark replays it, the fence
+    skips the already-committed merge, and the retried advance converges
+    on the same state bytes (crash-mid-advance covered in
+    tests/test_incremental.py). Advances for batches the fence skipped
+    are no-ops. Failures propagate — a silently stale MV is the worse
+    outcome — and the retry path above makes propagation safe.
 
     ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
     fence already collapse replay duplicates *exactly*, with no state and
@@ -177,6 +194,8 @@ def start_ingest_stream(
                 and table.live_data_dirs() >= auto_compact_every
             ):
                 stream.compactions.append(table.compact())
+            for mv in maintained_views or ():
+                stream.mv_advances.append(mv.advance())
         finally:
             batch.unpersist()
 

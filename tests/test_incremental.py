@@ -306,6 +306,69 @@ def test_maintained_view_after_streaming_ingest(spark, tmp_path):
     assert got == want
 
 
+def test_stream_advances_maintained_views_inline(spark, tmp_path):
+    """maintained_views=[mv]: the batch loop advances each view right
+    after its commit lands — MVs stay current with the stream with NO
+    external scheduler or manual advance. Two file drops through the
+    same checkpoint; after each drain the PERSISTED state must already
+    reflect the table's current snapshot and equal a full recompute."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_plugins_spark.datagen import generate_events
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+    from kafka_plugins_spark.streaming.pipeline import (
+        file_event_source,
+        start_ingest_stream,
+    )
+
+    df = generate_events(spark, n_conversations=60, n_partitions=4, seed=29)
+    full = str(tmp_path / "full")
+    df.filter(F.col("offset") < 300).coalesce(2).write.parquet(f"{full}/drop1")
+    df.filter(F.col("offset") >= 300).coalesce(2).write.parquet(f"{full}/drop2")
+    watch, tpath, ckpt = (str(tmp_path / d) for d in ("watch", "table", "ckpt"))
+    schema = spark.read.parquet(f"{full}/drop1").schema
+
+    table = ParquetSnapshotTable(spark, tpath, mode="mor")
+    mv = MaintainedCountSum(
+        table, str(tmp_path / "mv"), ["role"], ["text_len"], prepare=_with_len
+    )
+    n_advances = 0
+    for drop in (f"{full}/drop1", f"{full}/drop2"):
+        os.makedirs(watch, exist_ok=True)
+        for f in glob.glob(f"{drop}/*.parquet"):
+            shutil.copy(f, watch)
+        s = start_ingest_stream(
+            spark,
+            file_event_source(spark, watch, schema),
+            tpath,
+            ckpt,
+            mode="mor",
+            maintained_views=[mv],
+        )
+        s.await_and_stop()
+        assert len(s.mv_advances) >= 1  # one per committed micro-batch
+        n_advances += len(s.mv_advances)
+        # current WITHOUT any manual advance, from the persisted state
+        assert mv.as_of() == s.table.current_snapshot()["snapshot_id"]
+        got = {r["role"]: (r["cnt"], r["sum_text_len"]) for r in mv.read().collect()}
+        want = {
+            r["role"]: (r["cnt"], r["sum_text_len"])
+            for r in _agg(s.table.read()).collect()
+        }
+        assert got == want
+    assert n_advances >= 2
+    # a re-drain of already-fenced input advances as a no-op, state intact
+    s = start_ingest_stream(
+        spark, file_event_source(spark, watch, schema), tpath, ckpt,
+        mode="mor", maintained_views=[mv],
+    )
+    s.await_and_stop()
+    assert all(not a["delta_applied"] and not a["bootstrapped"] for a in s.mv_advances)
+    assert mv.as_of() == s.table.current_snapshot()["snapshot_id"]
+
+
 def test_cancel_to_zero_sum_goes_null_not_zero(spark, tmp_path):
     """Code-review finding: deleting the LAST non-NULL measure value of
     a group that still has (all-NULL) rows must leave sum NULL — exactly
