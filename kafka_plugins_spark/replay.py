@@ -37,6 +37,7 @@ def replay(
     wire: bool = False,
     mode: str | None = None,
     n_buckets: int | None = None,
+    maintained_views: list | None = None,
 ) -> tuple[ParquetSnapshotTable, list[CommitResult]]:
     """Replay the event log into the lake table.
 
@@ -50,6 +51,9 @@ def replay(
     (merge-on-read) instead of a CoW table rewrite — the scale shape for
     many-chunk incremental ingest; run ``table.compact()`` afterwards to
     fold deltas.
+    ``maintained_views=[mv, ...]`` advances each persisted MV after each
+    committed chunk (same contract as the streaming path: idempotent per
+    target snapshot, fenced re-replays advance as no-ops).
     """
     from kafka_plugins_spark.functions.decode import decode_transcript_events
 
@@ -64,6 +68,8 @@ def replay(
         ends = partition_end_offsets_from_metadata(events_path) or partition_end_offsets(events)
         ranges = {p: (0, e) for p, e in ends.items()}
         results.append(table.merge_into(winners, batch_id=0, ranges=ranges))
+        for mv in maintained_views or ():
+            mv.advance()
         return table, results
 
     ends = partition_end_offsets_from_metadata(events_path) or partition_end_offsets(events)
@@ -85,4 +91,6 @@ def replay(
             chunk = decode_transcript_events(chunk)
         winners = last_writer_wins(chunk, salt_buckets=salt_buckets)
         results.append(table.merge_into(winners, batch_id=i, ranges=ranges))
+        for mv in maintained_views or ():
+            mv.advance()
     return table, results

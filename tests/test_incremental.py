@@ -520,3 +520,30 @@ def test_maintained_minmax_untouched_groups_carried_not_recomputed(spark, tmp_pa
     got = {r["role"]: r["cnt"] for r in mv.read().collect()}
     assert got["asst"] == 99, "untouched group must come from stored MV, not a rescan"
     assert got["user"] == 2, "touched group recomputed from the target snapshot"
+
+
+def test_batch_replay_advances_maintained_views(spark, tmp_path, events_path):
+    """Batch-path symmetry with the streaming composition: replay(...,
+    maintained_views=[mv]) advances the persisted view after every
+    committed chunk; a fenced re-replay leaves it untouched and
+    current."""
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+    from kafka_plugins_spark.replay import replay
+
+    tpath = str(tmp_path / "t")
+    table = ParquetSnapshotTable(spark, tpath, mode="mor")
+    mv = MaintainedCountSum(
+        table, str(tmp_path / "mv"), ["role"], ["text_len"], prepare=_with_len
+    )
+    t2, res = replay(spark, events_path, tpath, chunk_size=200, mode="mor",
+                     maintained_views=[mv])
+    assert sum(1 for r in res if not r.skipped) > 1
+    assert mv.as_of() == t2.current_snapshot()["snapshot_id"]
+    got = {r["role"]: (r["cnt"], r["sum_text_len"]) for r in mv.read().collect()}
+    want = {r["role"]: (r["cnt"], r["sum_text_len"]) for r in _agg(t2.read()).collect()}
+    assert got == want
+    before = mv.as_of()
+    t3, res2 = replay(spark, events_path, tpath, chunk_size=200, mode="mor",
+                      maintained_views=[mv])
+    assert all(r.skipped for r in res2)
+    assert mv.as_of() == before == t3.current_snapshot()["snapshot_id"]
