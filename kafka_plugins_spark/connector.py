@@ -103,17 +103,29 @@ def ops_report(
 
     snap = table.current_snapshot()
     delivered = table.delivered_ranges()
+    starts = {int(k): max(0, int(v)) for k, v in (start_offsets or {}).items()}
     gaps: dict[str, list[list[int]]] = {}
     fence: dict[str, dict] = {}
     for p, iv in sorted(delivered.items()):
-        holes = [
+        start = starts.get(p, 0)
+        # holes an operator must re-ingest: the LEADING hole from the log's
+        # beginning offset (review finding: delivered [(20,30)] used to
+        # report gaps={} although [start,20) was never delivered) plus
+        # every hole between intervals
+        holes = (
+            [[start, iv[0][0]]] if iv and iv[0][0] > start else []
+        ) + [
             [iv[i][1], iv[i + 1][0]] for i in range(len(iv) - 1) if iv[i][1] < iv[i + 1][0]
         ]
         if holes:
             gaps[str(p)] = holes
         fence[str(p)] = {
             "intervals": [[int(a), int(b)] for a, b in iv],
-            "watermark": int(iv[0][1]) if iv and iv[0][0] <= 0 else 0,
+            # contiguous-from-start prefix — with broker beginningOffsets
+            # supplied, a fully-caught-up consumer of a retention-trimmed
+            # log no longer shows a watermark stuck at 0 (consistent with
+            # the lag block below)
+            "watermark": int(iv[0][1]) if iv and iv[0][0] <= start else start,
         }
     out: dict = {
         "table": table.path,
@@ -122,7 +134,7 @@ def ops_report(
         "write_mode": table._write_mode(),
         "n_buckets": None if snap is None else snap.get("n_buckets"),
         "rows_applied": None if snap is None else snap.get("rows_applied"),
-        "snapshots_retained": len(table.snapshots()),
+        "snapshots_retained": len(table._snapshot_files()),
         "live_data_dirs": table.live_data_dirs(),
         "fence": fence,
         "gaps": gaps,
@@ -134,21 +146,12 @@ def ops_report(
         out["lag"] = {str(p): v for p, v in lag.items()}
         out["caught_up"] = all(v["lag"] == 0 for v in lag.values())
     if mv_paths:
+        from kafka_plugins_spark.operators.incremental import maintained_view_as_of
+
         views = []
         for mp in mv_paths:
-            # same state-dir layout _MaintainedState publishes: the newest
-            # state-NNNNNN dir names the table snapshot the MV reflects
             mp = mp.rstrip("/")
-            states = (
-                sorted(
-                    int(n.split("-", 1)[1])
-                    for n in os.listdir(mp)
-                    if n.startswith("state-")
-                )
-                if os.path.isdir(mp)
-                else []
-            )
-            asof = states[-1] if states else None
+            asof = maintained_view_as_of(mp)
             views.append(
                 {
                     "path": mp,

@@ -805,6 +805,23 @@ class ParquetSnapshotTable:
             new_schema = merge_schemas(self._schema_of(snap_before), incoming_payload)
             stored_schema = _with_system_columns(new_schema)
             bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+            # the WRITE-side guard: covers rows the batch check below never
+            # sees — stored NULL-key rows folded in by a cow/mor→bucketed
+            # conversion (review finding). Zero extra scans: the error
+            # raises inside the write job itself, aborting the commit
+            # before any snapshot is published.
+            bucket_of_checked = F.when(
+                F.col("conv_id").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "bucketed table contract: NULL conv_id row encountered "
+                        "while writing buckets (stored rows folded in by a "
+                        "cow/mor conversion?) — xxhash64(NULL) degenerates to "
+                        "the seed and would silently misfile the row; repair "
+                        "or delete null-key rows before converting"
+                    )
+                ).cast("int"),
+            ).otherwise(bucket_of)
 
             def align(df: DataFrame) -> DataFrame:
                 return _align_select(df, stored_schema)
@@ -901,7 +918,7 @@ class ParquetSnapshotTable:
             # prune row groups inside the bucket, not just the bucket
             # dir. Task-local sort, no extra exchange.
             (
-                merged.withColumn("_bucket", bucket_of)
+                merged.withColumn("_bucket", bucket_of_checked)
                 .repartition(n if converting else max(len(touched), 1), F.col("_bucket"))
                 .sortWithinPartitions("_bucket", *KEY_COLUMNS)
                 .write.mode("overwrite")
@@ -1638,15 +1655,21 @@ def snapshot_diff_changes(
     payload = [c for c in after.columns]
 
     def tagged(df: DataFrame, tag: str) -> DataFrame:
+        # keys packed into ONE struct and joined null-safely: a NULL key
+        # component must match itself across states (review finding — a
+        # name-based equi-join never matches NULL=NULL, so an unchanged
+        # NULL-key row would churn as a phantom delete+insert every diff)
         return df.select(
-            *keys,
+            F.struct(*[F.col(c) for c in keys]).alias(f"_{tag}_k"),
             F.struct(*[F.col(c) for c in payload]).alias(f"_{tag}_row"),
             F.lit(True).alias(f"_{tag}_m"),
         )
 
     if before is None:
         return after.withColumn("_change_type", F.lit("insert"))
-    j = tagged(before, "a").join(tagged(after, "b"), keys, "full_outer")
+    j = tagged(before, "a").join(
+        tagged(after, "b"), F.col("_a_k").eqNullSafe(F.col("_b_k")), "full_outer"
+    )
     in_a = F.coalesce(F.col("_a_m"), F.lit(False))
     in_b = F.coalesce(F.col("_b_m"), F.lit(False))
     chg = T.StructType(
@@ -1700,9 +1723,19 @@ class IcebergChangelogAdapter:
       setup.
     """
 
-    def __init__(self, spark: SparkSession, table_identifier: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_identifier: str,
+        key_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.table = table_identifier
+        # the table's row-identity columns — (conv_id, turn_idx) for the
+        # transcripts contract, overridable for any other Iceberg table
+        # (a wrong/non-unique key set makes unchanged rows diff as update
+        # pairs and silently diverges any MV built on it)
+        self.key_cols = list(key_cols or KEY_COLUMNS)
 
     def current_snapshot(self) -> dict | None:
         rows = self.spark.sql(
@@ -1730,4 +1763,6 @@ class IcebergChangelogAdapter:
         self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
     ) -> DataFrame:
         before = None if from_snapshot_id is None else self.read(from_snapshot_id)
-        return snapshot_diff_changes(before, self.read(to_snapshot_id))
+        return snapshot_diff_changes(
+            before, self.read(to_snapshot_id), key_cols=self.key_cols
+        )

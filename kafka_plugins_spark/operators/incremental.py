@@ -208,6 +208,24 @@ def refresh_affected_groups(
     return kept.unionByName(agg_fn(touched_rows))
 
 
+def maintained_view_as_of(path: str) -> int | None:
+    """Newest table snapshot id a maintained view's state dir reflects —
+    the side-effect-free read `ops_report` polls (no mkdir, no Spark).
+    Single source of truth for the ``state-<snapshot_id>`` naming;
+    `_MaintainedState._states` delegates here. Non-numeric ``state-*``
+    entries (editor droppings, partial copies) are ignored rather than
+    crashing a monitoring poll."""
+    if not os.path.isdir(path):
+        return None
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("state-"):
+            suffix = name.split("-", 1)[1]
+            if suffix.isdigit():
+                out.append(int(suffix))
+    return max(out) if out else None
+
+
 class _MaintainedState:
     """Shared persisted-MV state lifecycle (used by both maintained-view
     classes): one dir per reflected table snapshot,
@@ -229,7 +247,9 @@ class _MaintainedState:
         out = []
         for name in os.listdir(self.path):
             if name.startswith("state-"):
-                out.append(int(name.split("-", 1)[1]))
+                suffix = name.split("-", 1)[1]
+                if suffix.isdigit():  # same tolerance as maintained_view_as_of
+                    out.append(int(suffix))
         return sorted(out)
 
     def _state_dir(self, snapshot_id: int) -> str:

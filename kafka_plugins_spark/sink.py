@@ -149,8 +149,16 @@ def publish_changes(changes: DataFrame, path: str, num_partitions: int = 4) -> N
 
     from kafka_plugins_spark.sources.events import partition_end_offsets_from_metadata
 
+    if changes.isEmpty():
+        # publishing an empty increment is a no-op — writing it anyway
+        # would create a partition-less parquet dir whose footer read
+        # fails and poisons every LATER publish to the path (review
+        # finding)
+        return
     base: dict[int, int] = {}
-    if os.path.isdir(path):
+    if os.path.isdir(path) and any(
+        e.name.startswith("partition=") for e in os.scandir(path)
+    ):
         got = partition_end_offsets_from_metadata(path)
         if got is None:  # footers unusable → one metadata-size Spark agg
             prior = changes.sparkSession.read.parquet(path)

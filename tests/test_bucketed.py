@@ -367,3 +367,25 @@ def test_bucketed_targeted_compact_rewrites_only_listed_buckets(spark, tmp_path)
         t2.compact(buckets=[0])
     # compacting buckets not in the manifest is a no-op skip
     assert table.compact(buckets=[999]).skipped
+
+
+def test_conversion_rejects_stored_null_conv_id(spark, tmp_path):
+    """Review finding: the batch-entry NULL check never sees STORED rows
+    folded in by a cow/mor→bucketed conversion — xxhash64(NULL) would
+    silently misfile them into bucket pmod(seed, n). The write-side
+    guard must abort the conversion loudly, publishing no snapshot."""
+    path = str(tmp_path / "t")
+    cow = ParquetSnapshotTable(spark, path)  # plain cow accepts null keys
+    bad = _batch(spark, [("k1", "user", "a", "I", 0), ("k2", "user", "b", "I", 1)]).withColumn(
+        "conv_id",
+        F.when(F.col("conv_id") == "k2", F.lit(None).cast("string")).otherwise(F.col("conv_id")),
+    )
+    cow.merge_into(last_writer_wins(bad), batch_id=0)
+    snap_before = cow.current_snapshot()["snapshot_id"]
+    bucketed = ParquetSnapshotTable(spark, path, mode="bucketed", n_buckets=4)
+    with pytest.raises(Exception, match="NULL conv_id"):
+        bucketed.merge_into(
+            last_writer_wins(_batch(spark, [("k3", "user", "c", "I", 10)])), batch_id=1
+        )
+    # aborted mid-write: no new snapshot published, cow table intact
+    assert ParquetSnapshotTable(spark, path).current_snapshot()["snapshot_id"] == snap_before

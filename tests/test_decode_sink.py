@@ -344,3 +344,29 @@ def test_publish_changes_appends_and_continues_offsets(spark, tmp_path):
     for p in {r["partition"] for r in back}:
         offs = sorted(r["offset"] for r in back if r["partition"] == p)
         assert offs == list(range(len(offs))), f"partition {p}: {offs}"
+
+
+def test_publish_changes_empty_increment_is_noop_not_poison(spark, tmp_path):
+    """Review finding: publishing an EMPTY increment first used to create
+    a partition-less parquet dir whose footer read crashed every later
+    publish to the path. It must be a no-op, and later publishes must
+    work."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from kafka_plugins_spark.sink import publish_changes
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k1", "user", "a", "I", 0)])), batch_id=0
+    )
+    log = str(tmp_path / "log")
+    empty = table.changes_between(None, r1.snapshot_id).limit(0)
+    publish_changes(empty, log)           # no-op, nothing written
+    publish_changes(empty, log)           # still fine
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k2", "user", "b", "I", 1)])), batch_id=1
+    )
+    publish_changes(table.changes_between(r1.snapshot_id, r2.snapshot_id), log)
+    back = spark.read.parquet(log).collect()
+    assert len(back) == 1 and back[0]["offset"] == 0

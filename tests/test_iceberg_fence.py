@@ -421,3 +421,30 @@ def test_maintained_mv_advances_through_adapter_trio(spark, tmp_path):
         for r in count_sum_aggregate(adapter.read(), ["role"], ["turn_idx"]).collect()
     )
     assert got == want
+
+
+def test_snapshot_diff_is_null_safe_on_keys(spark):
+    """Review finding: a name-based equi-join never matches NULL=NULL,
+    so an UNCHANGED row with a NULL key component churned as a phantom
+    delete+insert on every diff. The null-safe join must report no
+    change for it, and a real update to a NULL-key row must emit a
+    proper update pair."""
+    from kafka_plugins_spark.lake import snapshot_diff_changes
+
+    a = spark.createDataFrame(
+        [(None, 0, "same"), ("k1", 0, "old"), (None, 1, "was")],
+        "conv_id string, turn_idx int, text string",
+    )
+    b = spark.createDataFrame(
+        [(None, 0, "same"), ("k1", 0, "new"), (None, 1, "now")],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = sorted(
+        ((r["conv_id"], r["turn_idx"], r["text"], r["_change_type"])
+         for r in snapshot_diff_changes(a, b).collect()),
+        key=str,
+    )
+    assert got == sorted([
+        ("k1", 0, "old", "update_before"), ("k1", 0, "new", "update_after"),
+        (None, 1, "was", "update_before"), (None, 1, "now", "update_after"),
+    ], key=str), got
