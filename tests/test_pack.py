@@ -126,3 +126,39 @@ def test_pack_rejects_bad_capacity_and_handles_empty(spark):
     assert pack_sequences(df, "n_tok", "doc_id", capacity=4).count() == 0
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(df, "n_tok", "doc_id", capacity=0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40, unique=True
+    ),
+    toks=st.data(),
+    n_buckets=st.sampled_from([1, 3, 8]),
+)
+def test_offsets_property_any_id_distribution(spark, ids, toks, n_buckets):
+    """Property: for ANY unique numeric id set (negative, clustered,
+    astronomically sparse) and ANY token counts, the quantile-bucketed
+    prefix sum equals the sequential single-window answer exactly —
+    the bit-exactness contract behind the density-robustness fix."""
+    counts = [toks.draw(st.integers(min_value=0, max_value=1000)) for _ in ids]
+    df = spark.createDataFrame(list(zip(ids, counts)), "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: r["_start"]
+        for r in with_global_offsets(df, "n_tok", "doc_id", n_buckets=n_buckets).collect()
+    }
+    # sequential prefix over ids sorted ascending — the ground truth
+    want, run = {}, 0
+    by_id = dict(zip(ids, counts))
+    for i in sorted(ids):
+        want[i] = run
+        run += by_id[i]
+    assert got == want
