@@ -1731,6 +1731,15 @@ def q_dedup_ngram_jaccard(spark, sf):
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2)
 
 
+def q_xdoc_dup(spark, sf):
+    """Cross-document duplicated-passage fraction (Lee et al. 2021
+    signal): per doc, the share of its word 5-gram occurrences that
+    also appear in another document. The oracle re-derives every gram
+    and the doc-count per gram in SQL, so a hash match proves the
+    explode → two hash aggregates → equi-join pipeline end to end."""
+    return dd.cross_doc_dup_fraction(_t(spark, sf, "documents"), k=5)
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return dd.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
 
@@ -1849,6 +1858,30 @@ DEDUP_ORACLES = {
         FROM simt GROUP BY simhash HAVING count(*) > 1
     """,
 }
+
+DEDUP_ORACLES["xdoc_dup"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4])) AS gram
+            FROM words),
+        gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+        pd AS (
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   round(sum(CASE WHEN gd.nd >= 2 THEN 1.0 ELSE 0.0 END)
+                         / count(*), 4) AS xdoc_dup_frac
+            FROM grams g JOIN gd USING (gram) GROUP BY g.doc_id)
+        SELECT d.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+               pd.xdoc_dup_frac
+        FROM documents d LEFT JOIN pd USING (doc_id)
+"""
 
 DEDUP_ORACLES["decontaminate"] = f"""
         WITH {_SHINGLES_CTE},
@@ -2253,6 +2286,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "ann_topk": q_ann_topk,
     "emb_neardup": q_emb_neardup,
+    "xdoc_dup": q_xdoc_dup,
 }
 
 ORACLES: dict[str, str] = {

@@ -378,3 +378,69 @@ def contamination_pairs(
         .filter(F.col("containment") >= threshold)
         .select("train_doc_id", "eval_doc_id", "n_common", "containment")
     )
+
+
+def cross_doc_dup_fraction(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fraction of word ``k``-gram OCCURRENCES that also
+    appear in at least one OTHER document — the cross-corpus complement
+    of :func:`~kafka_plugins_spark.operators.text.repetition_scores`
+    (which is intra-doc): boilerplate headers, licence blocks, and
+    template passages shared across documents score high here while a
+    doc-level dedup (exact/MinHash) misses them entirely. The same
+    signal Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", public) act on by removing duplicated substrings;
+    this operator emits the measurement — the removal policy (drop doc,
+    trim spans) is the caller's.
+
+    Columns: ``doc_id``, ``n_grams`` (occurrences, 0 for docs shorter
+    than k words), ``xdoc_dup_frac`` (rounded to 4 decimals, NULL when
+    n_grams = 0).
+
+    Scale shape: the gram table is O(corpus words); counting docs per
+    gram is one hash aggregate with map-side partials, the membership
+    join is a plain equi-join on the gram (AQE-planned), and the final
+    per-doc rollup is one more hash aggregate — no windows, no
+    cartesian. At 100 TB, shrink the shuffle width by hashing the gram
+    (``xxhash64``) before the aggregate and swapping ``countDistinct``
+    for ``approx_count_distinct`` — this reference implementation keeps
+    the raw gram string so the DuckDB oracle can re-derive it verbatim.
+    Tokens and gram arrays are materialized in their own projections
+    (the codegen CSE trap — see :func:`word_shingles`).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    step1 = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(k)])
+    )
+    # sequence(1, hi) DESCENDS for hi < 1 — short docs gate to []
+    gram_arr = F.when(n >= k, gram_arr).otherwise(F.array().cast("array<string>"))
+    gram_rows = step1.select("doc_id", gram_arr.alias("_g")).select(
+        "doc_id", F.explode("_g").alias("gram")
+    )
+    shared = gram_rows.groupBy("gram").agg(F.countDistinct("doc_id").alias("_nd"))
+    per_doc = (
+        gram_rows.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(
+                F.sum((F.col("_nd") >= 2).cast("double")) / F.count(F.lit(1)), 4
+            ).alias("xdoc_dup_frac"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            "xdoc_dup_frac",
+        )
+    )

@@ -621,3 +621,33 @@ def test_stratified_exact_sample_counts_and_determinism(spark):
 
     with pytest.raises(ValueError, match="frac"):
         stratified_exact_sample(df, "grp", 0.0, "id")
+
+
+def test_cross_doc_dup_fraction_golden(spark):
+    """Hand-built corpus: a 5-gram shared verbatim between docs 1 and 2
+    counts toward BOTH; intra-doc repetition alone does NOT (it is the
+    other operator's job); short docs report 0 grams / NULL fraction."""
+    from kafka_plugins_spark.operators.dedup import cross_doc_dup_fraction
+
+    shared = "alpha beta gamma delta epsilon"         # the shared passage
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),           # grams 1-4 of 8... see below
+            (2, "zero " + shared),                    # shares the passage
+            (3, "solo solo solo solo solo solo"),     # intra-doc repeats only
+            (4, "too short"),                         # < 5 words → no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["xdoc_dup_frac"])
+        for r in cross_doc_dup_fraction(docs, k=5).collect()
+    }
+    # doc1: 8 words → 4 grams, ONLY gram[0] ("alpha..epsilon") is shared
+    assert got[1] == (4, 0.25)
+    # doc2: 6 words → 2 grams, gram[1] is the shared passage
+    assert got[2] == (2, 0.5)
+    # doc3: 6 words → 2 grams ("solo"x5 twice) — identical to each other
+    # but present in no OTHER doc → 0.0 (intra-doc dup must not count)
+    assert got[3] == (2, 0.0)
+    assert got[4] == (0, None)
