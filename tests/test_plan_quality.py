@@ -251,3 +251,22 @@ def test_round5b_operators_plan_shapes(spark):
     assert "BatchEvalPython" not in p
     assert "BroadcastHashJoin" in p, "model relations must broadcast"
     assert "SortMergeJoin" not in p
+
+
+def test_round6_operators_plan_shapes(spark):
+    """Round-6 operators stay on the scale path: cross-doc dup fraction
+    is explode + two hash aggregates + one equi-join — no windows, no
+    cartesian, no Python; the quantile-bucketed packing keeps its
+    SinglePartition-free window (re-pinned after the density fix)."""
+    from kafka_plugins_spark.operators.dedup import cross_doc_dup_fraction
+    from kafka_plugins_spark.operators.pack import with_global_offsets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(cross_doc_dup_fraction(docs, k=5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "Window" not in p
+
+    toks = docs.select("doc_id", F.col("n_chars").alias("n_tok"))
+    p = plan_of(with_global_offsets(toks, "n_tok", "doc_id", n_buckets=8))
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
