@@ -83,3 +83,83 @@ def final_state(events: DataFrame, salt_buckets: int | None = None) -> DataFrame
     winners = last_writer_wins(events, salt_buckets=salt_buckets)
     payload = [c for c in events.columns if c not in ENVELOPE_COLUMNS]
     return winners.filter(F.col("op") != "D").select(*payload)
+
+
+def resolve_partial_updates(
+    events: DataFrame,
+    payload_cols: list[str] | None = None,
+    sets_col: str = "cols_set",
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """Per-COLUMN last-writer-wins for partial (patch) change events.
+
+    Row-level LWW (``last_writer_wins``) assumes every update carries the
+    full post-image — the reference's replay model, where the payload is
+    whatever the producer wrote (``KafkaBatchConfig.java:58-62`` leaves
+    duplicate/partial semantics entirely to the consumer). Real binlog
+    tails are often NOT full-image: MySQL ``binlog_row_image=minimal`` and
+    Debezium patch events carry only the columns that changed. Folding
+    such a stream with row-level LWW silently nulls every unchanged
+    column. This operator owns that case:
+
+    - ``op='I'`` replaces the whole row — it sets EVERY payload column,
+      explicit NULLs included.
+    - ``op='U'`` sets only the columns named in ``sets_col``
+      (``array<string>``); a column absent from the set is UNCHANGED even
+      if its value is NULL, and a column present in the set with a NULL
+      value is an explicit SET-to-NULL.
+    - ``op='D'`` tombstones the key.
+
+    A key's final row exists iff its latest I/D event is an I; column
+    ``c``'s final value comes from the latest event that SET ``c``.
+    No delete-boundary anchor is needed: an I sets every column, so the
+    latest setter of any column is always >= the latest I — a stale
+    pre-delete U can never out-offset the reinsert that followed it.
+    Updates for keys that were never inserted resolve to no row (the
+    latest I/D aggregate is NULL), matching a tail that attached mid-log.
+
+    Scale shape: ONE hash exchange. Every aggregate (per-column filtered
+    ``max_by``, the I/D existence ``max_by``, ``max(offset)``) is
+    declarative and partially reducible, so a hot key collapses to one
+    row per map task before the shuffle — same defense as row-level LWW,
+    and strictly cheaper than the fold-by-window a naive patch replay
+    needs (which ships every event of a key to one task and sorts).
+
+    Output: key + payload columns + ``op``/``partition``/``offset``
+    (op='I', envelope from the key's latest event), merge-compatible with
+    ``ParquetSnapshotTable.merge_into``. ``keep_deletes=True`` also emits
+    op='D' tombstone rows (NULL payload) so deletes propagate through a
+    downstream merge.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in events.columns
+            if c not in KEY_COLUMNS and c not in ENVELOPE_COLUMNS and c != sets_col
+        ]
+    sets_c = [
+        F.expr(
+            f"max_by({c}, offset) FILTER (WHERE op = 'I' "
+            f"OR (op = 'U' AND array_contains({sets_col}, '{c}')))"
+        ).alias(c)
+        for c in payload_cols
+    ]
+    resolved = events.groupBy(*KEY_COLUMNS).agg(
+        *sets_c,
+        F.expr("max_by(op, offset) FILTER (WHERE op IN ('I', 'D'))").alias("_rowop"),
+        F.expr("max_by(partition, offset)").alias("partition"),
+        F.max("offset").alias("offset"),
+    )
+    live = resolved.filter(F.col("_rowop") == "I").select(
+        *KEY_COLUMNS, *payload_cols, F.lit("I").alias("op"), "partition", "offset"
+    )
+    if not keep_deletes:
+        return live
+    dead = resolved.filter(F.col("_rowop") == "D").select(
+        *KEY_COLUMNS,
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit("D").alias("op"),
+        "partition",
+        "offset",
+    )
+    return live.unionByName(dead)

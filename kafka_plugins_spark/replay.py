@@ -16,6 +16,7 @@ first uncommitted chunk.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from kafka_plugins_spark.lake import CommitResult, ParquetSnapshotTable
 from kafka_plugins_spark.operators.resolve import last_writer_wins
@@ -24,6 +25,57 @@ from kafka_plugins_spark.sources.events import (
     partition_end_offsets_from_metadata,
     scan_events,
 )
+
+
+def bootstrap(
+    spark: SparkSession,
+    snapshot_df,
+    table_path: str,
+    start_offsets: dict[int, int],
+    mode: str | None = None,
+    n_buckets: int | None = None,
+) -> tuple[ParquetSnapshotTable, CommitResult]:
+    """Seed a table from an initial full dump, fencing the tail handoff.
+
+    The canonical CDC start-up (Debezium's snapshot→streaming phase; the
+    reference instead starts at an offset sentinel and cannot express "the
+    table already reflects everything before X" — ``KafkaConfig.java``
+    initial-offset −2/−1): take a consistent dump of the source captured
+    at log position ``start_offsets`` (per source partition, exclusive
+    "next offset", same convention as the reference's ``untilOffset``),
+    write it as the table's first snapshot, and record ``[0, start_p)``
+    as DELIVERED for every partition. A subsequent :func:`replay` over
+    the FULL log is then exactly-once by construction: chunks below the
+    cut are fence-skipped commits, straddling chunks are clipped, and
+    nothing pre-dump is ever applied twice.
+
+    Dump rows carry payload columns only (shape of
+    :func:`~kafka_plugins_spark.operators.resolve.final_state`). They are
+    stored with a synthetic envelope: ``op='I'`` and
+    ``offset = min(start_offsets) - 1``, which every tail event
+    out-offsets (a key's tail events live in its pinned partition ``p``
+    at offsets ``>= start_p >= min(start)``), so read-side and merge-side
+    LWW always prefer tail data over the dump — for ANY key→partition
+    assignment, which is why the synthetic ``partition`` column
+    (``pmod(xxhash64(conv_id), n)``) is bookkeeping, not correctness.
+    """
+    start_offsets = {int(p): int(s) for p, s in start_offsets.items()}
+    if not start_offsets:
+        raise ValueError("start_offsets must name at least one partition")
+    base = min(start_offsets.values()) - 1
+    n_parts = len(start_offsets)
+    rows = snapshot_df.select(
+        *snapshot_df.columns,
+        F.lit("I").alias("op"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int").alias("partition"),
+        F.lit(base).cast("long").alias("offset"),
+    )
+    ranges = {p: (0, s) for p, s in start_offsets.items() if s > 0}
+    table = ParquetSnapshotTable(spark, table_path, mode=mode, n_buckets=n_buckets)
+    if table.current_snapshot() is not None:
+        raise ValueError(f"bootstrap target {table_path} is not empty")
+    result = table.merge_into(rows, batch_id=0, ranges=ranges)
+    return table, result
 
 
 def replay(

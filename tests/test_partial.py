@@ -1,0 +1,231 @@
+"""resolve_partial_updates: per-column LWW for partial (patch) change events.
+
+The reference replays whatever payload the producer wrote and leaves
+duplicate/partial semantics to the consumer (KafkaBatchConfig.java:58-62);
+the MySQL-minimal-row-image / Debezium-patch case — update events carrying
+only changed columns — therefore needs an engine-owned resolver. Oracle
+here is an imperative offset-order fold in pandas (apply I/U/D patch
+semantics one event at a time), which the one-shuffle aggregate must
+reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from kafka_plugins_spark.operators.resolve import resolve_partial_updates
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("cols_set", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+PAYLOAD = ["role", "text", "tool", "ts"]
+
+
+def _ev(conv, turn, op, offset, cols_set=None, **vals):
+    row = {
+        "conv_id": conv,
+        "turn_idx": turn,
+        "role": None,
+        "text": None,
+        "tool": None,
+        "ts": None,
+        "op": op,
+        "partition": 0,
+        "offset": offset,
+        "cols_set": list(PAYLOAD) if op == "I" else (cols_set or []),
+    }
+    row.update(vals)
+    return row
+
+
+def _fold_oracle(rows: list[dict]) -> pd.DataFrame:
+    """Imperative patch fold in offset order — the semantics spec."""
+    state: dict[tuple, dict | None] = {}
+    for r in sorted(rows, key=lambda r: r["offset"]):
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "I":
+            state[k] = {c: r[c] for c in PAYLOAD}
+        elif r["op"] == "D":
+            state[k] = None
+        elif r["op"] == "U":
+            if state.get(k) is not None:
+                for c in r["cols_set"] or []:
+                    state[k][c] = r[c]
+            # U on a non-existent key: buffer nothing — but a later
+            # reinsert-free stream must still surface U columns if an I
+            # exists at ANY offset below a later U (the aggregate is
+            # order-free); the fold handles that naturally because events
+            # are folded in offset order.
+    out = [
+        {"conv_id": k[0], "turn_idx": k[1], **v}
+        for k, v in state.items()
+        if v is not None
+    ]
+    return (
+        pd.DataFrame(out, columns=["conv_id", "turn_idx", *PAYLOAD])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    return resolve_partial_updates(df, **kw)
+
+
+def _collect(df):
+    return (
+        df.select("conv_id", "turn_idx", *PAYLOAD)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_partial_update_composes_columns(spark):
+    rows = [
+        _ev("a", 0, "I", 0, role="user", text="hello", tool=None),
+        _ev("a", 0, "U", 1, cols_set=["text"], text="hello, world"),
+        _ev("a", 0, "U", 2, cols_set=["tool"], tool="search"),
+    ]
+    got = _collect(_run(spark, rows))
+    # each column from ITS latest setter, not from the latest event
+    assert got.loc[0, "role"] == "user"
+    assert got.loc[0, "text"] == "hello, world"
+    assert got.loc[0, "tool"] == "search"
+
+
+def test_row_lww_would_null_unchanged_columns(spark):
+    """The failure mode this operator exists for, pinned explicitly."""
+    from kafka_plugins_spark.operators.resolve import final_state
+
+    rows = [
+        _ev("a", 0, "I", 0, role="user", text="hello"),
+        _ev("a", 0, "U", 1, cols_set=["tool"], tool="search"),
+    ]
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    row_lww = final_state(df.drop("cols_set")).toPandas().iloc[0]
+    assert row_lww["text"] is None  # full-image LWW nulls the unchanged col
+    got = _collect(resolve_partial_updates(df)).iloc[0]
+    assert got["text"] == "hello" and got["tool"] == "search"
+
+
+def test_delete_boundary_does_not_leak_stale_columns(spark):
+    rows = [
+        _ev("a", 0, "I", 0, role="user", text="old", tool="old-tool"),
+        _ev("a", 0, "U", 1, cols_set=["tool"], tool="stale"),
+        _ev("a", 0, "D", 2),
+        _ev("a", 0, "I", 3, role="assistant", text="new"),  # tool NULL here
+    ]
+    got = _collect(_run(spark, rows))
+    assert len(got) == 1
+    assert got.loc[0, "role"] == "assistant"
+    assert got.loc[0, "text"] == "new"
+    assert got.loc[0, "tool"] is None  # pre-delete 'stale' must NOT survive
+
+
+def test_explicit_set_to_null_vs_unchanged(spark):
+    rows = [
+        _ev("a", 0, "I", 0, role="user", text="x", tool="t"),
+        # names 'tool' in cols_set with NULL value: explicit SET-to-NULL;
+        # 'text' is absent from the set: unchanged even though NULL
+        _ev("a", 0, "U", 1, cols_set=["tool"]),
+    ]
+    got = _collect(_run(spark, rows))
+    assert got.loc[0, "tool"] is None
+    assert got.loc[0, "text"] == "x"
+
+
+def test_update_without_insert_yields_no_row(spark):
+    rows = [_ev("a", 0, "U", 5, cols_set=["text"], text="orphan")]
+    assert _run(spark, rows).count() == 0
+
+
+def test_last_rowop_delete_drops_key_and_keep_deletes_emits_tombstone(spark):
+    rows = [
+        _ev("a", 0, "I", 0, role="user", text="x"),
+        _ev("a", 0, "D", 1),
+        _ev("b", 0, "I", 2, role="user", text="y"),
+    ]
+    live = _run(spark, rows)
+    assert [r["conv_id"] for r in live.collect()] == ["b"]
+    both = _run(spark, rows, keep_deletes=True)
+    ops = {r["conv_id"]: r["op"] for r in both.collect()}
+    assert ops == {"a": "D", "b": "I"}
+    dead = [r for r in both.collect() if r["op"] == "D"][0]
+    assert dead["text"] is None and dead["offset"] == 1
+
+
+def test_randomized_patch_stream_matches_fold_oracle(spark):
+    """200 keys × deterministic pseudo-random I/U/D patches, with
+    out-of-order offsets and replay duplicates, vs the imperative fold."""
+    rows: list[dict] = []
+    offset = 0
+    for k in range(200):
+        conv = f"c{k:03d}"
+        n = (k * 7919) % 9 + 1
+        for i in range(n):
+            h = (k * 31 + i * 17) % 10
+            offset += 1
+            if i == 0 or h == 7:
+                rows.append(
+                    _ev(conv, 0, "I", offset, role=f"r{h}", text=f"t{k}-{i}",
+                        tool=(f"tool{h}" if h % 3 == 0 else None))
+                )
+            elif h == 9:
+                rows.append(_ev(conv, 0, "D", offset))
+            else:
+                cols = [["text"], ["role"], ["tool"], ["text", "tool"]][h % 4]
+                vals = {c: f"v{k}-{i}-{c}" for c in cols}
+                if h % 5 == 0:
+                    vals[cols[0]] = None  # explicit set-to-NULL
+                rows.append(_ev(conv, 0, "U", offset, cols_set=cols, **vals))
+    # replay duplicates: every 13th event re-delivered at the same offset
+    rows += [dict(r) for i, r in enumerate(rows) if i % 13 == 0]
+    got = _collect(_run(spark, rows))
+    want = _fold_oracle(rows)
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["ts"]), want.drop(columns=["ts"]), check_dtype=False
+    )
+
+
+def test_partial_resolve_plan_is_one_exchange_no_window(spark):
+    rows = [_ev("a", 0, "I", 0, role="user", text="x")]
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    plan = resolve_partial_updates(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_partial_resolve_feeds_merge_into(spark, tmp_path):
+    """Output shape is merge-compatible: patch-resolve a stream, merge it,
+    read back the converged table."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    rows = [
+        _ev("a", 0, "I", 0, role="user", text="hello"),
+        _ev("a", 0, "U", 1, cols_set=["text"], text="patched"),
+        _ev("b", 0, "I", 2, role="user", text="bye"),
+        _ev("b", 0, "D", 3),
+    ]
+    winners = _run(spark, rows, keep_deletes=True)
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(winners, batch_id=0, ranges={0: (0, 4)})
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"a": "patched"}
