@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "cdc_lww",
     "cdc_final_state",
     "cdc_final_state_bucketed",
+    "cdc_partial_update",
+    "cdc_bootstrap",
     "pricing_summary",
     "nation_volume",
     "top_orders_per_customer",

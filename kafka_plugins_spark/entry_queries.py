@@ -364,6 +364,77 @@ def q_cdc_partition_offsets(spark, sf):
     )
 
 
+def q_cdc_partial_update(spark, sf):
+    """Per-COLUMN last-writer-wins for partial (patch) change events —
+    the MySQL-minimal-row-image / Debezium-patch shape where an update
+    carries only its changed columns (the reference replays payloads
+    verbatim and leaves this to the consumer, KafkaBatchConfig.java:58-62).
+    Events are derived from the driver events table by a shared
+    arithmetic rule (op from (user_id+event_id)%11 — 0=insert, 1=delete,
+    else patch; patched-column subset from (user_id*3+event_id)%3), then
+    resolved in ONE hash exchange of per-column filtered max_by
+    aggregates. The oracle applies the identical rule with arg_max FILTER
+    in DuckDB, so a hash match proves column-level composition: each
+    final column from ITS latest setter, deletes dropping the key, and a
+    reinsert never inheriting pre-delete column values."""
+    from kafka_plugins_spark.operators.resolve import resolve_partial_updates
+
+    ev = _t(spark, sf, "events")
+    m = F.pmod(F.col("user_id") + F.col("event_id"), F.lit(11))
+    s = F.pmod(F.col("user_id") * 3 + F.col("event_id"), F.lit(3))
+    pe = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("val_a"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("val_b"),
+        F.when(m == 0, "I").when(m == 1, "D").otherwise("U").alias("op"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.when(m == 0, F.array(F.lit("val_a"), F.lit("val_b")))
+        .when(m == 1, F.array().cast("array<string>"))
+        .when(s == 0, F.array(F.lit("val_a")))
+        .when(s == 1, F.array(F.lit("val_b")))
+        .otherwise(F.array(F.lit("val_a"), F.lit("val_b")))
+        .alias("cols_set"),
+    )
+    out = resolve_partial_updates(pe, payload_cols=["val_a", "val_b"])
+    return out.select(
+        "conv_id", "val_a", "val_b", F.col("offset").alias("last_offset")
+    )
+
+
+def q_cdc_bootstrap(spark, sf):
+    """Snapshot-bootstrap → fenced tail handoff, driver-verified
+    end-to-end (the Debezium snapshot→streaming phase; the reference's
+    initial-offset sentinels −2/−1 can only restart or skip the log,
+    KafkaConfig.java): converge the BELOW-median-offset half of the
+    events relationally into an initial dump, ``bootstrap()`` a scratch
+    table from it with [0, cut) recorded as delivered per partition,
+    then merge the ENTIRE log — the fence must drop every pre-cut
+    winner while tail events out-offset the dump's synthetic envelope.
+    The oracle converges all events from scratch and never sees the
+    cut, so a hash match proves dump + fenced tail == full replay."""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.operators.resolve import final_state, last_writer_wins
+    from kafka_plugins_spark.replay import bootstrap
+
+    ev = _t(spark, sf, "events")
+    ce = _events_ce(ev)
+    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    cut = hi // 2
+    dump = final_state(ce.filter(F.col("offset") < cut))
+    scratch = tempfile.mkdtemp(prefix="boot_entry_")
+    table, _ = bootstrap(spark, dump, scratch, {p: cut for p in range(8)})
+    table.merge_into(
+        last_writer_wins(ce), batch_id=1, ranges={p: (0, hi + 1) for p in range(8)}
+    )
+    out = table.read().localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 _CDC_LWW_SQL = """
 SELECT user_id, event_type,
        arg_max(value, event_id) AS last_value,
@@ -387,6 +458,41 @@ CDC_ORACLES = {
     """,
     "cdc_lww": _CDC_LWW_SQL,
     "cdc_lww_salted": _CDC_LWW_SQL,
+    # identical arithmetic rule as q_cdc_partial_update; per-column
+    # arg_max FILTER is DuckDB's spelling of the patch fold
+    "cdc_partial_update": """
+        WITH pe AS (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   event_id AS off,
+                   CASE (user_id + event_id) % 11
+                        WHEN 0 THEN 'I' WHEN 1 THEN 'D' ELSE 'U' END AS op,
+                   (user_id * 3 + event_id) % 3 AS s,
+                   coalesce(value, 0.0)      AS val_a,
+                   coalesce(event_type, '')  AS val_b
+            FROM events
+        )
+        SELECT conv_id,
+               arg_max(val_a, off) FILTER (
+                   WHERE op = 'I' OR (op = 'U' AND s IN (0, 2))) AS val_a,
+               arg_max(val_b, off) FILTER (
+                   WHERE op = 'I' OR (op = 'U' AND s IN (1, 2))) AS val_b,
+               max(off) AS last_offset
+        FROM pe
+        GROUP BY conv_id
+        HAVING arg_max(op, off) FILTER (WHERE op IN ('I', 'D')) = 'I'
+    """,
+    # converged state over ALL events — the oracle never sees the
+    # bootstrap cut, which is the point
+    "cdc_bootstrap": """
+        SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+               0::INT                          AS turn_idx,
+               arg_max(event_type, event_id)   AS role,
+               CAST(max(event_id) AS VARCHAR)  AS text,
+               CAST(NULL AS VARCHAR)           AS tool,
+               arg_max(ts, event_id)           AS ts
+        FROM events GROUP BY user_id
+        HAVING arg_max(event_type, event_id) <> 'error'
+    """,
     "cdc_final_state": """
         SELECT user_id,
                arg_max(event_type, event_id) AS last_type,
@@ -2231,6 +2337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog_bucketed": q_cdc_changelog_bucketed,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_incremental_minmax": q_cdc_incremental_minmax,
+    "cdc_partial_update": q_cdc_partial_update,
+    "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_decode_dlq": q_cdc_decode_dlq,
     "decode_avro_events": q_decode_avro_events,
     "media_png_decode": q_media_png_decode,
@@ -2240,14 +2348,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_png_resize": q_media_png_resize,
     "pricing_summary": q_pricing_summary,
     "customers_lapsed": q_customers_lapsed,
-    "active_customer_balance": q_active_customer_balance,
     "event_type_pivot": q_event_type_pivot,
     "lineitem_cube": q_lineitem_cube,
     "top_revenue_orders": q_top_revenue_orders,
     "nation_volume": q_nation_volume,
     "top_orders_per_customer": q_top_orders_per_customer,
     "sessionize": q_sessionize,
-    "events_rollup": q_events_rollup,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_winnow": q_doc_winnow,
@@ -2282,6 +2388,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_byte_histogram": q_media_byte_histogram,
     "customers_without_orders": q_customers_without_orders,
     "event_counts": q_event_counts,
+    # relational variants displaced by the round-6 CDC rows (partial
+    # update, bootstrap handoff): filter-agg and rollup shapes already
+    # represented in QUERIES by pricing_summary and lineitem_cube
+    "active_customer_balance": q_active_customer_balance,
+    "events_rollup": q_events_rollup,
     "doc_stats": q_doc_stats,
     "bpe_encode": q_bpe_encode,
     "ann_topk": q_ann_topk,
