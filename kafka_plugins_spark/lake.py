@@ -25,14 +25,16 @@ applies only the unseen suffix.
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark import StorageLevel
@@ -748,6 +750,162 @@ class ParquetSnapshotTable:
         finally:
             if not single_pass:
                 fresh.unpersist()
+
+    def merge_patch(
+        self,
+        patch_winners: DataFrame,
+        batch_id: int,
+        ranges: dict[int, tuple[int, int]] | None = None,
+        sets_col: str = "cols_set",
+    ) -> CommitResult:
+        """Column-level MERGE for partial-update (patch) streams.
+
+        ``merge_into`` assumes full-row winners — merging a patch row
+        through it would overwrite every unpatched stored column with
+        NULL. This path takes the ``emit_sets=True`` output of
+        :func:`~kafka_plugins_spark.operators.resolve.resolve_partial_updates`
+        (key + payload + op ∈ {I,U,D} + envelope + ``cols_set`` naming the
+        columns the batch actually set) and composes it against STORED
+        state:
+
+        - op='I' → upsert the batch row wholesale (an insert set every
+          column within the batch);
+        - op='D' → tombstone the key (retained, as in ``merge_into``);
+        - op='U' → patch: each column named in ``cols_set`` from the
+          batch, every other column from the stored row. A patch for a
+          key that is absent or tombstoned is DROPPED (orphan patch — the
+          source emitted an update for a row the table never saw; the
+          Iceberg spelling is the unmatched-WHEN-NOT-MATCHED no-op).
+
+        In-order only, ENFORCED: patch composition is not commutative the
+        way full-row LWW is (there is no per-column offset stored to
+        re-resolve an out-of-order batch against), so a batch whose range
+        starts below the delivered watermark raises instead of guessing.
+        CoW only for the same reason: MoR's read-side ``max_by`` and the
+        bucketed manifest both assume row-level winners.
+
+        One shuffle join (stored FULL OUTER batch on key; AQE broadcasts
+        micro-batches), then the same CoW rewrite + atomic-commit tail as
+        ``merge_into``.
+        """
+        t0 = time.monotonic()
+        if self._write_mode() != "cow":
+            raise NotImplementedError(
+                "merge_patch composes column-level state and requires the CoW "
+                "write mode; MoR/bucketed reads resolve row-level winners"
+            )
+        if ranges is None:
+            ranges = compute_ranges(patch_winners)
+        delivered = self.delivered_ranges()
+        if ranges:
+            decision = fence_decision(ranges, delivered)
+            if decision.skip:
+                return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+            if decision.needs_filter:
+                in_order = all(
+                    not delivered.get(p) or lo >= delivered[p][-1][1]
+                    for p, (lo, _) in ranges.items()
+                )
+                if not in_order:
+                    raise ValueError(
+                        "merge_patch requires in-order batches: range starts "
+                        f"{ranges} overlap delivered {delivered}; re-resolve the "
+                        "overlap with resolve_partial_updates over the raw "
+                        "events instead"
+                    )
+                patch_winners = _drop_delivered(patch_winners, delivered)
+        snap_before = self.current_snapshot()
+
+        fresh = patch_winners.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            per_part = _fresh_partition_stats(fresh)
+            if not per_part:
+                return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
+            per_part = self._clip_ranges(per_part, ranges, delivered)
+
+            incoming_payload = T.StructType(
+                [
+                    f
+                    for f in fresh.schema.fields
+                    if f.name not in ENVELOPE_COLUMNS and f.name != sets_col
+                ]
+            )
+            new_schema = merge_schemas(self.table_schema(), incoming_payload)
+            payload_value_cols = [
+                f.name for f in new_schema.fields if f.name not in KEY_COLUMNS
+            ]
+            stored_schema = _with_system_columns(new_schema)
+
+            if snap_before is None:
+                # cold start: only inserts and tombstones can land
+                merged = _align_select(
+                    fresh.filter(F.col("op") != "U").withColumnsRenamed(
+                        {"op": "_op", "partition": "_partition", "offset": "_offset"}
+                    ),
+                    stored_schema,
+                )
+            else:
+                t = _align_select(self._read_full(), stored_schema).alias("t")
+                b = fresh.alias("b")
+                cond = functools.reduce(
+                    operator.and_,
+                    [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in KEY_COLUMNS],
+                )
+                joined = t.join(b, cond, "full_outer")
+                b_op = F.col("b.op")
+                t_live = F.col("t._op").isNotNull() & (F.col("t._op") != "D")
+
+                def out_col(c: str) -> Column:
+                    if c in ("_op", "_partition", "_offset"):
+                        src = {"_op": b_op, "_partition": F.col("b.partition"), "_offset": F.col("b.offset")}[c]
+                        return (
+                            F.when(b_op.isNull(), F.col(f"t.{c}"))
+                            .when(b_op == "U", F.when(t_live, src).otherwise(F.col(f"t.{c}")))
+                            .otherwise(src)
+                            .alias(c)
+                        )
+                    b_val = F.col(f"b.{c}") if c in fresh.columns else F.lit(None)
+                    t_val = F.col(f"t.{c}")
+                    patched = F.when(
+                        F.array_contains(F.col(f"b.{sets_col}"), c), b_val
+                    ).otherwise(t_val)
+                    return (
+                        F.when(b_op.isNull(), t_val)  # untouched stored row
+                        .when(b_op == "I", b_val)  # full replace
+                        .when(b_op == "D", F.lit(None))  # tombstone payload
+                        .when(t_live, patched)  # patch live stored row
+                        .otherwise(t_val)  # orphan patch: keep stored (may be NULL row)
+                        .alias(c)
+                    )
+
+                keep = (
+                    F.col("t._op").isNotNull()  # stored row (possibly patched)
+                    | b_op.isin("I", "D")  # batch upsert/tombstone
+                )
+                merged = _align_select(
+                    joined.filter(keep).select(
+                        *[F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in KEY_COLUMNS],
+                        *[out_col(c) for c in payload_value_cols],
+                        *[out_col(c) for c in ("_op", "_partition", "_offset")],
+                    ),
+                    stored_schema,
+                )
+
+            snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1
+            data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+            merged.write.mode("overwrite").parquet(data_path)
+            return self._finalize_commit(
+                snap_id,
+                {"data_path": data_path},
+                new_schema,
+                per_part,
+                ranges,
+                delivered,
+                batch_id,
+                t0,
+            )
+        finally:
+            fresh.unpersist()
 
     def _merge_bucketed(
         self,

@@ -90,6 +90,7 @@ def resolve_partial_updates(
     payload_cols: list[str] | None = None,
     sets_col: str = "cols_set",
     keep_deletes: bool = False,
+    emit_sets: bool = False,
 ) -> DataFrame:
     """Per-COLUMN last-writer-wins for partial (patch) change events.
 
@@ -130,6 +131,15 @@ def resolve_partial_updates(
     ``ParquetSnapshotTable.merge_into``. ``keep_deletes=True`` also emits
     op='D' tombstone rows (NULL payload) so deletes propagate through a
     downstream merge.
+
+    ``emit_sets=True`` is the CROSS-COMMIT form, the input contract of
+    ``ParquetSnapshotTable.merge_patch``: keys whose batch holds only U
+    events are emitted too (op='U' — within one batch they have no base
+    row to patch, but the stored table does), and every row carries a
+    recomputed ``cols_set`` naming the columns THIS batch actually set
+    (all of them after an I; the union of patched columns otherwise), so
+    the merge can coalesce unpatched columns from the stored row instead
+    of nulling them.
     """
     if payload_cols is None:
         payload_cols = [
@@ -137,19 +147,43 @@ def resolve_partial_updates(
             for c in events.columns
             if c not in KEY_COLUMNS and c not in ENVELOPE_COLUMNS and c != sets_col
         ]
+    def _sets(c: str) -> str:
+        return f"op = 'I' OR (op = 'U' AND array_contains({sets_col}, '{c}'))"
+
     sets_c = [
-        F.expr(
-            f"max_by({c}, offset) FILTER (WHERE op = 'I' "
-            f"OR (op = 'U' AND array_contains({sets_col}, '{c}')))"
-        ).alias(c)
+        F.expr(f"max_by({c}, offset) FILTER (WHERE {_sets(c)})").alias(c)
+        for c in payload_cols
+    ]
+    set_flags = [
+        # "did any post-latest-I event of this batch set c" — after an I
+        # every column counts as set, so the flag is simply "any setter"
+        F.expr(f"max(offset) FILTER (WHERE {_sets(c)}) IS NOT NULL").alias(f"_set_{c}")
         for c in payload_cols
     ]
     resolved = events.groupBy(*KEY_COLUMNS).agg(
         *sets_c,
+        *(set_flags if emit_sets else ()),
         F.expr("max_by(op, offset) FILTER (WHERE op IN ('I', 'D'))").alias("_rowop"),
         F.expr("max_by(partition, offset)").alias("partition"),
         F.max("offset").alias("offset"),
     )
+    if emit_sets:
+        # op: latest I/D of the batch, or 'U' when the batch only patched
+        return resolved.select(
+            *KEY_COLUMNS,
+            *payload_cols,
+            F.coalesce(F.col("_rowop"), F.lit("U")).alias("op"),
+            "partition",
+            "offset",
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(F.col(f"_set_{c}"), F.lit(c))
+                        for c in payload_cols
+                    ]
+                )
+            ).alias(sets_col),
+        )
     live = resolved.filter(F.col("_rowop") == "I").select(
         *KEY_COLUMNS, *payload_cols, F.lit("I").alias("op"), "partition", "offset"
     )

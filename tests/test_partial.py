@@ -213,6 +213,122 @@ def test_partial_resolve_plan_is_one_exchange_no_window(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def _chunked_patch_replay(spark, rows, tmp_path, n_chunks=3):
+    """Split a patch stream into offset chunks, resolve each with
+    emit_sets, merge_patch sequentially; return the table."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "patch_t"))
+    hi = max(r["offset"] for r in rows) + 1
+    step = hi // n_chunks + 1
+    for i in range(n_chunks):
+        lo, end = i * step, min((i + 1) * step, hi)
+        chunk = [r for r in rows if lo <= r["offset"] < end]
+        if not chunk:
+            continue
+        winners = _run(spark, chunk, emit_sets=True)
+        table.merge_patch(winners, batch_id=i, ranges={0: (lo, end)})
+    return table
+
+
+def test_merge_patch_multi_commit_matches_fold_oracle(spark, tmp_path):
+    """The cross-commit property: chunked patch ingest through
+    merge_patch == the imperative fold over the whole stream. Covers
+    patches landing in later commits than their insert, deletes and
+    reinserts straddling commit boundaries, and orphan patches."""
+    rows: list[dict] = []
+    offset = 0
+    for k in range(120):
+        conv = f"c{k:03d}"
+        n = (k * 5077) % 8 + 1
+        for i in range(n):
+            h = (k * 13 + i * 29) % 10
+            offset += 1
+            if i == 0 and h != 3:  # h==3 keys start with an orphan patch
+                rows.append(_ev(conv, 0, "I", offset, role=f"r{h}", text=f"t{k}"))
+            elif h == 9:
+                rows.append(_ev(conv, 0, "D", offset))
+            elif h == 8:
+                rows.append(_ev(conv, 0, "I", offset, role="re", text=f"re{i}"))
+            else:
+                cols = [["text"], ["role"], ["tool"], ["role", "tool"]][h % 4]
+                vals = {c: f"v{k}-{i}-{c}" for c in cols}
+                rows.append(_ev(conv, 0, "U", offset, cols_set=cols, **vals))
+    table = _chunked_patch_replay(spark, rows, tmp_path)
+    got = _collect(table.read())
+    want = _fold_oracle(rows)
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["ts"]), want.drop(columns=["ts"]), check_dtype=False
+    )
+
+
+def test_merge_patch_patches_stored_row_across_commits(spark, tmp_path):
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    b1 = _run(spark, [_ev("a", 0, "I", 0, role="user", text="hello", tool="t0")],
+              emit_sets=True)
+    table.merge_patch(b1, batch_id=0, ranges={0: (0, 1)})
+    # later commit patches ONLY tool — text must come from the stored row
+    b2 = _run(spark, [_ev("a", 0, "U", 1, cols_set=["tool"], tool="t1")],
+              emit_sets=True)
+    table.merge_patch(b2, batch_id=1, ranges={0: (1, 2)})
+    row = table.read().collect()[0]
+    assert (row["text"], row["tool"], row["role"]) == ("hello", "t1", "user")
+
+
+def test_merge_patch_orphan_and_dead_patches_dropped(spark, tmp_path):
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_patch(
+        _run(spark, [
+            _ev("a", 0, "I", 0, role="user", text="x"),
+            _ev("gone", 0, "U", 1, cols_set=["text"], text="orphan"),
+        ], emit_sets=True),
+        batch_id=0, ranges={0: (0, 2)},
+    )
+    table.merge_patch(
+        _run(spark, [_ev("a", 0, "D", 2)], emit_sets=True),
+        batch_id=1, ranges={0: (2, 3)},
+    )
+    # patch to the tombstoned key must not resurrect it
+    table.merge_patch(
+        _run(spark, [_ev("a", 0, "U", 3, cols_set=["text"], text="zombie")],
+             emit_sets=True),
+        batch_id=2, ranges={0: (3, 4)},
+    )
+    assert table.read().count() == 0
+
+
+def test_merge_patch_fence_skips_and_enforces_order(spark, tmp_path):
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    b = _run(spark, [_ev("a", 0, "I", 5, role="user", text="x")], emit_sets=True)
+    r1 = table.merge_patch(b, batch_id=0, ranges={0: (0, 10)})
+    assert not r1.skipped
+    # replay of the same range is a fence-skipped no-op
+    assert table.merge_patch(b, batch_id=0, ranges={0: (0, 10)}).skipped
+    # a straddling (partially delivered) batch must refuse, not guess
+    b2 = _run(spark, [_ev("a", 0, "U", 12, cols_set=["text"], text="y")],
+              emit_sets=True)
+    with pytest.raises(ValueError, match="in-order"):
+        table.merge_patch(b2, batch_id=1, ranges={0: (5, 15)})
+    # the in-order continuation applies cleanly
+    assert not table.merge_patch(b2, batch_id=1, ranges={0: (10, 15)}).skipped
+    assert table.read().collect()[0]["text"] == "y"
+
+
+def test_merge_patch_rejects_row_resolving_modes(spark, tmp_path):
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="mor")
+    b = _run(spark, [_ev("a", 0, "I", 0, role="user", text="x")], emit_sets=True)
+    with pytest.raises(NotImplementedError, match="CoW"):
+        table.merge_patch(b, batch_id=0, ranges={0: (0, 1)})
+
+
 def test_partial_resolve_feeds_merge_into(spark, tmp_path):
     """Output shape is merge-compatible: patch-resolve a stream, merge it,
     read back the converged table."""
