@@ -1675,6 +1675,64 @@ class IcebergMergeBackend:
             f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
         )
 
+    def build_merge_patch_sql(
+        self,
+        updates_view: str,
+        payload_columns: list[str] | None = None,
+        sets_col: str = "cols_set",
+    ) -> str:
+        """The Iceberg spelling of ``ParquetSnapshotTable.merge_patch``:
+        column-level MERGE for partial-update streams. ``updates_view``
+        holds ``resolve_partial_updates(..., emit_sets=True)`` output —
+        op ∈ {I,U,D} plus a ``cols_set`` array naming the columns the
+        batch set. Each payload column updates to the source value only
+        when named in ``cols_set`` (or on a full-row I), else keeps the
+        target value; patches never insert (orphan patch = unmatched U =
+        MERGE no-op, exactly the sandbox path's drop); deletes soft-
+        tombstone via ``_op`` so consumer views filter them. In-order
+        only, same as the sandbox path — the caller enforces it with the
+        fence before issuing the MERGE (there is no per-column offset to
+        guard per-column staleness)."""
+        cols = payload_columns or [f.name for f in TRANSCRIPT.fields]
+        on = " AND ".join(f"t.{k} = s.{k}" for k in KEY_COLUMNS)
+        sys_sets = "t._op = s.op, t._partition = s.partition, t._offset = s.offset"
+        patch_sets = ", ".join(
+            [
+                f"t.{c} = CASE WHEN s.op = 'I' OR array_contains(s.{sets_col}, '{c}') "
+                f"THEN s.{c} ELSE t.{c} END"
+                for c in cols
+                if c not in KEY_COLUMNS
+            ]
+            + [sys_sets]
+        )
+        tombstone_sets = ", ".join(
+            [f"t.{c} = NULL" for c in cols if c not in KEY_COLUMNS] + [sys_sets]
+        )
+        # a patch on a tombstoned key is a no-op; only a full I resurrects
+        resurrect_pairs = [
+            (f"t.{c}", f"s.{c}") for c in cols if c not in KEY_COLUMNS
+        ] + [
+            ("t._op", "s.op"),
+            ("t._partition", "s.partition"),
+            ("t._offset", "s.offset"),
+        ]
+        resurrect_sets = ", ".join(
+            f"{t} = CASE WHEN s.op = 'I' THEN {s} ELSE {t} END"
+            for t, s in resurrect_pairs
+        )
+        insert_cols = ", ".join([*cols, "_op", "_partition", "_offset"])
+        insert_vals = ", ".join([f"s.{c}" for c in cols] + ["s.op", "s.partition", "s.offset"])
+        return (
+            f"MERGE INTO {self.table} t\n"
+            f"USING {updates_view} s\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED AND s.op = 'D' THEN UPDATE SET {tombstone_sets}\n"
+            f"WHEN MATCHED AND t._op = 'D' THEN UPDATE SET {resurrect_sets}\n"
+            f"WHEN MATCHED THEN UPDATE SET {patch_sets}\n"
+            f"WHEN NOT MATCHED AND s.op != 'U' THEN INSERT ({insert_cols}) "
+            f"VALUES ({insert_vals})"
+        )
+
     def compaction_sql(self) -> str:
         """Hard-delete soft tombstones (run once delivered intervals are
         contiguous — same precondition as ParquetSnapshotTable.compact)."""

@@ -222,6 +222,61 @@ def main() -> None:
     assert got_mv == want_mv, f"MV diverged: {got_mv} != {want_mv}"
     print("mv: bootstrap + O(delta) advance against the real catalog == full recompute")
 
+    # 7. column-level patch MERGE (build_merge_patch_sql) on a fresh table
+    ident_p = "local.db.transcripts_patch"
+    spark.sql(f"DROP TABLE IF EXISTS {ident_p}")
+    spark.sql(
+        f"CREATE TABLE {ident_p} (conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, _op string, _partition int, "
+        "_offset bigint) USING iceberg"
+    )
+    from kafka_plugins_spark.lake import IcebergMergeBackend
+
+    backend_p = IcebergMergeBackend(ident_p)
+
+    def patch_batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, op string, partition int, offset long, "
+            "cols_set array<string>",
+        ).withColumn("ts", F.timestamp_seconds(F.col("offset") + 1_700_000_000))
+
+    full = ["role", "text", "tool", "ts"]
+    patch_batch(
+        [("p1", 0, "user", "hello", "t0", "I", 0, 0, full),
+         ("p2", 0, "user", "bye", None, "I", 0, 1, full)]
+    ).createOrReplaceTempView("patch_updates")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    spark.sql(backend_p.build_merge_patch_sql("patch_updates", cols))
+    # patch ONLY tool on p1, tombstone p2, orphan-patch p9 (must not insert)
+    patch_batch(
+        [("p1", 0, None, None, "t1", "U", 0, 2, ["tool"]),
+         ("p2", 0, None, None, None, "D", 0, 3, []),
+         ("p9", 0, None, "ghost", None, "U", 0, 4, ["text"])]
+    ).createOrReplaceTempView("patch_updates")
+    spark.sql(backend_p.build_merge_patch_sql("patch_updates", cols))
+    got_p = {
+        (r["conv_id"]): (r["text"], r["tool"], r["_op"])
+        for r in spark.table(ident_p).collect()
+    }
+    assert got_p["p1"] == ("hello", "t1", "U"), got_p  # text kept, tool patched
+    assert got_p["p2"][2] == "D" and got_p["p2"][0] is None, got_p
+    assert "p9" not in got_p, got_p
+    # late patch on the tombstoned p2 is a no-op; a full I resurrects
+    patch_batch(
+        [("p2", 0, None, "zombie", None, "U", 0, 5, ["text"]),
+         ("p2", 1, "user", "fresh", None, "I", 0, 6, full)]
+    ).createOrReplaceTempView("patch_updates")
+    spark.sql(backend_p.build_merge_patch_sql("patch_updates", cols))
+    rows_p = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["_op"])
+        for r in spark.table(ident_p).collect()
+    }
+    assert rows_p[("p2", 0)] == (None, "D"), rows_p  # not resurrected
+    assert rows_p[("p2", 1)] == ("fresh", "I"), rows_p
+    print("patch: column-level MERGE composed, tombstone held, orphan dropped")
+
     print("ICEBERG-REAL-OK")
     spark.stop()
 

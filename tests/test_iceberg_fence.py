@@ -107,6 +107,32 @@ def test_merge_sql_hard_delete_clause():
     assert b.compaction_sql() == "DELETE FROM lake.db.transcripts WHERE _op = 'D'"
 
 
+def test_merge_patch_sql_arms():
+    """The Iceberg spelling of merge_patch: arm order and column-level
+    CASE guards mirror the sandbox path's semantics exactly."""
+    b = IcebergMergeBackend("lake.db.transcripts")
+    sql = b.build_merge_patch_sql("updates", ["conv_id", "turn_idx", "text", "tool"])
+    # tombstone arm first, then resurrect-only-on-I, then patch
+    i_del = sql.index("WHEN MATCHED AND s.op = 'D'")
+    i_dead = sql.index("WHEN MATCHED AND t._op = 'D'")
+    i_patch = sql.index("WHEN MATCHED THEN UPDATE")
+    assert i_del < i_dead < i_patch
+    # per-column patch guard: set only when named in cols_set or full I
+    assert (
+        "t.text = CASE WHEN s.op = 'I' OR array_contains(s.cols_set, 'text') "
+        "THEN s.text ELSE t.text END" in sql
+    )
+    # a patch on a tombstoned key must not resurrect: dead arm only
+    # applies source values under s.op = 'I'
+    dead_arm = sql[i_dead:i_patch]
+    assert "CASE WHEN s.op = 'I' THEN s.text ELSE t.text END" in dead_arm
+    assert "CASE WHEN s.op = 'I' THEN s.op ELSE t._op END" in dead_arm
+    # orphan patches never insert
+    assert "WHEN NOT MATCHED AND s.op != 'U' THEN INSERT" in sql
+    # key columns are join keys, never SET targets
+    assert "t.conv_id =" not in sql.split("ON ")[1].split("WHEN")[1]
+
+
 def test_commit_options_prefix():
     opts = IcebergMergeBackend.commit_options({0: [(0, 10)]})
     assert opts == {"snapshot-property.kps.delivered.0": "[[0, 10]]"}
