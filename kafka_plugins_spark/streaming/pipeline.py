@@ -79,6 +79,7 @@ def start_ingest_stream(
     wire: bool = False,
     dlq_path: str | None = None,
     maintained_views: list | None = None,
+    patch: bool = False,
 ) -> IngestStream:
     """Wire the streaming DAG and start it.
 
@@ -138,6 +139,16 @@ def start_ingest_stream(
     are no-ops. Failures propagate — a silently stale MV is the worse
     outcome — and the retry path above makes propagation safe.
 
+    ``patch=True`` treats the source as a PARTIAL-UPDATE (patch) stream:
+    events carry a ``cols_set`` array naming the columns they set, each
+    micro-batch resolves per-column
+    (:func:`~kafka_plugins_spark.operators.resolve.resolve_partial_updates`
+    with ``emit_sets=True``) and applies via
+    :meth:`ParquetSnapshotTable.merge_patch`, so an update that only
+    touched ``tool`` never nulls the stored ``text``. Requires a decoded
+    source (``wire=False``) and CoW mode; Kafka's per-partition order
+    satisfies the merge's in-order contract.
+
     ``dedup=False`` is the DEFAULT on purpose: the LWW reduce + snapshot
     fence already collapse replay duplicates *exactly*, with no state and
     no loss. ``dedup=True`` adds watermarked stateful dedup on the
@@ -147,6 +158,13 @@ def start_ingest_stream(
     offsets, making the drop permanent. Only enable it when the stream's
     event-time disorder is provably bounded by ``watermark_delay``.
     """
+    if patch and wire:
+        raise ValueError(
+            "patch=True requires a decoded source carrying a cols_set column "
+            "(the wire decoder emits full-row post-images)"
+        )
+    if patch and (mode or "cow") != "cow":
+        raise ValueError("patch=True composes column-level state and requires CoW mode")
     if wire and dedup:
         raise ValueError("wire=True requires dedup=False (dedup needs decoded event time)")
     if wire and dlq_path is None:
@@ -180,8 +198,19 @@ def start_ingest_stream(
                     dlq.write.mode("overwrite").parquet(
                         os.path.join(dlq_path, f"batch-{batch_id:06d}")
                     )
-            winners = last_writer_wins(work, salt_buckets=salt_buckets)
-            res = table.merge_into(winners, batch_id=batch_id, ranges=ranges)
+            if patch:
+                # patch streams: per-column batch resolve + column-level
+                # merge against stored state (Kafka per-partition order
+                # satisfies merge_patch's in-order contract)
+                from kafka_plugins_spark.operators.resolve import (
+                    resolve_partial_updates,
+                )
+
+                winners = resolve_partial_updates(work, emit_sets=True)
+                res = table.merge_patch(winners, batch_id=batch_id, ranges=ranges)
+            else:
+                winners = last_writer_wins(work, salt_buckets=salt_buckets)
+                res = table.merge_into(winners, batch_id=batch_id, ranges=ranges)
             res.wall_ms = int((time.monotonic() - t0) * 1000)
             stream.commits.append(res)
             # MoR only: its dir count IS read amplification. A bucketed

@@ -9,6 +9,7 @@ import glob
 import os
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -380,3 +381,73 @@ def test_stream_bucketed_mode_converges_no_spurious_compaction(spark, staged, tm
     table = s2.table
     assert "bucket_paths" in table.current_snapshot()
     assert_tables_equal(table.read().toPandas(), duckdb_final_state(staged["oracle"]))
+
+
+def test_stream_patch_mode_composes_columns_across_batches(spark, tmp_path):
+    """patch=True end-to-end: a partial-update stream delivered as two
+    file drops; a later micro-batch patching one column must keep the
+    stored values of the others, and the final table must match the
+    imperative fold oracle over the whole stream."""
+    from tests.test_partial import SCHEMA as PATCH_SCHEMA, _ev, _fold_oracle
+
+    rows1 = [
+        _ev("a", 0, "I", 0, role="user", text="hello", tool="t0"),
+        _ev("b", 0, "I", 1, role="user", text="bye"),
+    ]
+    rows2 = [
+        _ev("a", 0, "U", 2, cols_set=["tool"], tool="t1"),
+        _ev("b", 0, "D", 3),
+        _ev("c", 0, "U", 4, cols_set=["text"], text="orphan"),
+    ]
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch, exist_ok=True)
+    ckpt = str(tmp_path / "ckpt")
+    table_path = str(tmp_path / "table")
+
+    spark.createDataFrame(rows1, PATCH_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_path}/d1"
+    )
+    _stage(f"{tmp_path}/d1", watch)
+    s1 = start_ingest_stream(
+        spark, file_event_source(spark, watch, PATCH_SCHEMA), table_path, ckpt,
+        patch=True,
+    )
+    s1.await_and_stop()
+    spark.createDataFrame(rows2, PATCH_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_path}/d2"
+    )
+    _stage(f"{tmp_path}/d2", watch)
+    s2 = start_ingest_stream(
+        spark, file_event_source(spark, watch, PATCH_SCHEMA), table_path, ckpt,
+        patch=True,
+    )
+    s2.await_and_stop()
+
+    got = (
+        s2.table.read()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool"]]
+    )
+    want = _fold_oracle(rows1 + rows2).drop(columns=["ts"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the patched row kept its stored text
+    assert got.set_index("conv_id").loc["a", "text"] == "hello"
+    assert got.set_index("conv_id").loc["a", "tool"] == "t1"
+
+
+def test_stream_patch_mode_guards(spark, tmp_path):
+    from tests.test_partial import SCHEMA as PATCH_SCHEMA
+
+    os.makedirs(str(tmp_path / "w"), exist_ok=True)
+    src = file_event_source(spark, str(tmp_path / "w"), PATCH_SCHEMA)
+    with pytest.raises(ValueError, match="cols_set"):
+        start_ingest_stream(
+            spark, src, str(tmp_path / "t"), str(tmp_path / "c"),
+            patch=True, wire=True, dlq_path=str(tmp_path / "q"),
+        )
+    with pytest.raises(ValueError, match="CoW"):
+        start_ingest_stream(
+            spark, src, str(tmp_path / "t"), str(tmp_path / "c"),
+            patch=True, mode="mor",
+        )
