@@ -207,10 +207,16 @@ def test_randomized_patch_stream_matches_fold_oracle(spark):
 def test_partial_resolve_plan_is_one_exchange_no_window(spark):
     rows = [_ev("a", 0, "I", 0, role="user", text="x")]
     df = spark.createDataFrame(rows, schema=SCHEMA)
-    plan = resolve_partial_updates(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "Window" not in plan, plan
-    assert "BatchEvalPython" not in plan, plan
+    for kw in ({}, {"emit_sets": True}):
+        plan = (
+            resolve_partial_updates(df, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, (kw, plan)
+        assert "Window" not in plan, (kw, plan)
+        assert "BatchEvalPython" not in plan, (kw, plan)
 
 
 def _chunked_patch_replay(spark, rows, tmp_path, n_chunks=3):
