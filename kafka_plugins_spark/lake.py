@@ -209,6 +209,79 @@ def _fresh_partition_stats(fresh: DataFrame) -> dict[int, tuple[int, int, int]]:
     }
 
 
+def _compose_patch(
+    stored: DataFrame,
+    batch: DataFrame,
+    payload_value_cols: list[str],
+    sets_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Column-level composition of a patch batch against stored rows.
+
+    Shape: stored LEFT JOIN batch (patch/replace/tombstone arms on
+    matches, unmatched stored rows pass through) plus a key anti-join for
+    batch-only I/D inserts — deliberately NOT one FULL OUTER join: Spark
+    cannot broadcast a full-outer join, which would sort-merge-shuffle
+    the entire wide stored table on every commit. With the batch on the
+    right of a left join, AQE broadcasts micro-batches and the stored
+    side streams scan→join→write with NO exchange; the anti-join's second
+    stored scan is pruned to the key columns. Plan shape pinned in
+    tests/test_partial.py.
+
+    Returns ``(patched_stored, new_rows)``, both in stored layout
+    (payload + ``_op/_partition/_offset``), un-aligned.
+    """
+    t = stored.alias("t")
+    b = batch.alias("b")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in KEY_COLUMNS],
+    )
+    joined = t.join(b, cond, "left_outer")
+    b_op = F.col("b.op")
+    t_live = F.col("t._op") != "D"
+
+    def out_col(c: str) -> Column:
+        if c in ("_op", "_partition", "_offset"):
+            src = {
+                "_op": b_op,
+                "_partition": F.col("b.partition"),
+                "_offset": F.col("b.offset"),
+            }[c]
+            return (
+                F.when(b_op.isNull(), F.col(f"t.{c}"))  # untouched stored row
+                .when(b_op == "U", F.when(t_live, src).otherwise(F.col(f"t.{c}")))
+                .otherwise(src)
+                .alias(c)
+            )
+        b_val = F.col(f"b.{c}") if c in batch.columns else F.lit(None)
+        t_val = F.col(f"t.{c}")
+        patched = F.when(F.array_contains(F.col(f"b.{sets_col}"), c), b_val).otherwise(
+            t_val
+        )
+        return (
+            F.when(b_op.isNull(), t_val)  # untouched stored row
+            .when(b_op == "I", b_val)  # full replace
+            .when(b_op == "D", F.lit(None))  # tombstone payload
+            .when(t_live, patched)  # patch live stored row
+            .otherwise(t_val)  # patch on tombstone: keep the tombstone
+            .alias(c)
+        )
+
+    patched_stored = joined.select(
+        *[F.col(f"t.{k}").alias(k) for k in KEY_COLUMNS],
+        *[out_col(c) for c in payload_value_cols],
+        *[out_col(c) for c in ("_op", "_partition", "_offset")],
+    )
+    new_rows = (
+        batch.filter(F.col("op") != "U")  # orphan patches never insert
+        .join(stored.select(*KEY_COLUMNS), KEY_COLUMNS, "left_anti")
+        .withColumnsRenamed(
+            {"op": "_op", "partition": "_partition", "offset": "_offset"}
+        )
+    )
+    return patched_stored, new_rows
+
+
 _BUCKET_CACHE: dict[tuple[str, int], int] = {}
 _BUCKET_CACHE_MAX = 65536  # a point-lookup working set, not a key index
 
@@ -784,9 +857,12 @@ class ParquetSnapshotTable:
         CoW only for the same reason: MoR's read-side ``max_by`` and the
         bucketed manifest both assume row-level winners.
 
-        One shuffle join (stored FULL OUTER batch on key; AQE broadcasts
-        micro-batches), then the same CoW rewrite + atomic-commit tail as
-        ``merge_into``.
+        Join shape (see :func:`_compose_patch`): stored LEFT JOIN batch +
+        key anti-join for new rows — NOT a full-outer join, which Spark
+        cannot broadcast and would sort-merge-shuffle the whole stored
+        table per commit. AQE broadcasts micro-batches, so the stored
+        side streams scan→join→write with no exchange; then the same CoW
+        rewrite + atomic-commit tail as ``merge_into``.
         """
         t0 = time.monotonic()
         if self._write_mode() != "cow":
@@ -845,50 +921,12 @@ class ParquetSnapshotTable:
                     stored_schema,
                 )
             else:
-                t = _align_select(self._read_full(), stored_schema).alias("t")
-                b = fresh.alias("b")
-                cond = functools.reduce(
-                    operator.and_,
-                    [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in KEY_COLUMNS],
+                stored = _align_select(self._read_full(), stored_schema)
+                patched, inserts = _compose_patch(
+                    stored, fresh, payload_value_cols, sets_col
                 )
-                joined = t.join(b, cond, "full_outer")
-                b_op = F.col("b.op")
-                t_live = F.col("t._op").isNotNull() & (F.col("t._op") != "D")
-
-                def out_col(c: str) -> Column:
-                    if c in ("_op", "_partition", "_offset"):
-                        src = {"_op": b_op, "_partition": F.col("b.partition"), "_offset": F.col("b.offset")}[c]
-                        return (
-                            F.when(b_op.isNull(), F.col(f"t.{c}"))
-                            .when(b_op == "U", F.when(t_live, src).otherwise(F.col(f"t.{c}")))
-                            .otherwise(src)
-                            .alias(c)
-                        )
-                    b_val = F.col(f"b.{c}") if c in fresh.columns else F.lit(None)
-                    t_val = F.col(f"t.{c}")
-                    patched = F.when(
-                        F.array_contains(F.col(f"b.{sets_col}"), c), b_val
-                    ).otherwise(t_val)
-                    return (
-                        F.when(b_op.isNull(), t_val)  # untouched stored row
-                        .when(b_op == "I", b_val)  # full replace
-                        .when(b_op == "D", F.lit(None))  # tombstone payload
-                        .when(t_live, patched)  # patch live stored row
-                        .otherwise(t_val)  # orphan patch: keep stored (may be NULL row)
-                        .alias(c)
-                    )
-
-                keep = (
-                    F.col("t._op").isNotNull()  # stored row (possibly patched)
-                    | b_op.isin("I", "D")  # batch upsert/tombstone
-                )
-                merged = _align_select(
-                    joined.filter(keep).select(
-                        *[F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in KEY_COLUMNS],
-                        *[out_col(c) for c in payload_value_cols],
-                        *[out_col(c) for c in ("_op", "_partition", "_offset")],
-                    ),
-                    stored_schema,
+                merged = _align_select(patched, stored_schema).unionByName(
+                    _align_select(inserts, stored_schema)
                 )
 
             snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1

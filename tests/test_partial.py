@@ -326,6 +326,35 @@ def test_merge_patch_fence_skips_and_enforces_order(spark, tmp_path):
     assert table.read().collect()[0]["text"] == "y"
 
 
+def test_compose_patch_plan_broadcasts_batch_no_full_outer(spark, tmp_path):
+    """The 100 TB shape of merge_patch: a micro-batch against a stored
+    table must NOT plan a full-outer sort-merge join (unbroadcastable —
+    it would shuffle the whole wide table every commit). The stored side
+    streams through a broadcast left join; the anti-join scan is pruned
+    to key columns."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable, _compose_patch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    rows = [_ev(f"k{i}", 0, "I", i, role="user", text=f"x{i}") for i in range(50)]
+    table.merge_into(
+        _run(spark, rows, keep_deletes=True), batch_id=0, ranges={0: (0, 50)}
+    )
+    stored = table._read_full()
+    batch = _run(spark, [_ev("k1", 0, "U", 60, cols_set=["text"], text="p")],
+                 emit_sets=True)
+    payload = [
+        c
+        for c in stored.columns
+        if c not in ("conv_id", "turn_idx", "_op", "_partition", "_offset")
+    ]
+    patched, inserts = _compose_patch(stored, batch, payload, "cols_set")
+    merged = patched.unionByName(inserts.select(*patched.columns))
+    merged.write.format("noop").mode("overwrite").save()  # finalize AQE
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_merge_patch_rejects_row_resolving_modes(spark, tmp_path):
     from kafka_plugins_spark.lake import ParquetSnapshotTable
 
