@@ -1191,6 +1191,13 @@ class ParquetSnapshotTable:
             new_delivered[p] = _merge_intervals(
                 new_delivered.get(p, []) + [(min(lo, ranges.get(p, (lo, end))[0]), end)]
             )
+        # claimed ranges whose partition contributed NO rows this batch
+        # (an empty chunk, or a bootstrap dump whose synthetic rows hashed
+        # elsewhere) are still DELIVERED — the batch consumed them; losing
+        # the interval would un-fence the range and re-apply it on replay
+        for p, (lo, end) in (ranges or {}).items():
+            if p not in per_part and end > lo:
+                new_delivered[p] = _merge_intervals(new_delivered.get(p, []) + [(lo, end)])
         new_wm = {p: iv[-1][1] for p, iv in new_delivered.items()}
         snapshot = {
             "snapshot_id": snap_id,

@@ -326,6 +326,70 @@ def test_merge_patch_fence_skips_and_enforces_order(spark, tmp_path):
     assert table.read().collect()[0]["text"] == "y"
 
 
+def test_merge_patch_schema_evolution_new_column(spark, tmp_path):
+    """A later patch batch introducing a NEW payload column widens the
+    table (merge_schemas) and backfills older rows with NULL — the same
+    evolution contract as merge_into."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    schema_v2 = T.StructType(
+        list(SCHEMA.fields[:6])
+        + [T.StructField("lang", T.StringType(), True)]
+        + list(SCHEMA.fields[6:])
+    )
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_patch(
+        _run(spark, [_ev("a", 0, "I", 0, role="user", text="x"),
+                     _ev("b", 0, "I", 1, role="user", text="y")], emit_sets=True),
+        batch_id=0, ranges={0: (0, 2)},
+    )
+    v2_rows = [
+        {**_ev("a", 0, "U", 2, cols_set=["lang"]), "lang": "en"},
+        {**_ev("c", 0, "I", 3), "role": "user", "text": "z", "lang": "de",
+         "cols_set": ["role", "text", "tool", "ts", "lang"]},
+    ]
+    from kafka_plugins_spark.operators.resolve import resolve_partial_updates
+
+    winners = resolve_partial_updates(
+        spark.createDataFrame(v2_rows, schema=schema_v2), emit_sets=True
+    )
+    table.merge_patch(winners, batch_id=1, ranges={0: (2, 4)})
+    got = {r["conv_id"]: (r["text"], r["lang"]) for r in table.read().collect()}
+    assert got == {"a": ("x", "en"), "b": ("y", None), "c": ("z", "de")}
+
+
+def test_bootstrap_differing_partition_starts(spark, tmp_path):
+    """start_offsets need not be uniform: the dump envelope sits below
+    min(start), so tail events of EVERY partition out-offset it; fence
+    clips per partition independently."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.replay import bootstrap
+
+    dump = spark.createDataFrame(
+        [("a", 0, "user", "from-dump", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    table, res = bootstrap(
+        spark, dump, str(tmp_path / "t"), {0: 100, 1: 7, 2: 0}
+    )
+    assert not res.skipped
+    wm = table.watermarks()
+    assert wm.get(0) == 100 and wm.get(1) == 7 and 2 not in wm
+    stored_off = table._read_full().agg(F.max("_offset")).collect()[0][0]
+    assert stored_off == -1  # min(start) - 1 with an empty partition present
+    # a tail event at partition 2 offset 0 (below the other partitions'
+    # cuts) must pass the fence and beat the dump row
+    tail = _run(
+        spark,
+        [_ev("a", 0, "U", 0, cols_set=["text"], text="tail-wins")],
+        emit_sets=True,
+    )
+    tail = tail.withColumn("partition", F.lit(2).cast("int"))
+    table.merge_patch(tail, batch_id=1, ranges={2: (0, 1)})
+    assert table.read().collect()[0]["text"] == "tail-wins"
+
+
 def test_compose_patch_plan_broadcasts_batch_no_full_outer(spark, tmp_path):
     """The 100 TB shape of merge_patch: a micro-batch against a stored
     table must NOT plan a full-outer sort-merge join (unbroadcastable —
