@@ -90,6 +90,7 @@ def replay(
     mode: str | None = None,
     n_buckets: int | None = None,
     maintained_views: list | None = None,
+    patch: bool = False,
 ) -> tuple[ParquetSnapshotTable, list[CommitResult]]:
     """Replay the event log into the lake table.
 
@@ -106,8 +107,17 @@ def replay(
     ``maintained_views=[mv, ...]`` advances each persisted MV after each
     committed chunk (same contract as the streaming path: idempotent per
     target snapshot, fenced re-replays advance as no-ops).
+    ``patch=True`` treats the log as a PARTIAL-UPDATE stream (events
+    carry ``cols_set``): each chunk resolves per-column and applies via
+    :meth:`ParquetSnapshotTable.merge_patch` — chunked offset order
+    satisfies its in-order contract. Requires ``wire=False`` (the wire
+    decoder emits full-row post-images) and CoW mode.
     """
     from kafka_plugins_spark.functions.decode import decode_transcript_events
+    from kafka_plugins_spark.operators.resolve import resolve_partial_updates
+
+    if patch and wire:
+        raise ValueError("patch=True requires wire=False (patch events carry cols_set)")
 
     table = ParquetSnapshotTable(spark, table_path, mode=mode, n_buckets=n_buckets)
     events = scan_events(spark, events_path, merge_schema=merge_schema)
@@ -115,11 +125,17 @@ def replay(
         events = decode_transcript_events(events)
     results: list[CommitResult] = []
 
+    def apply(chunk, batch_id, ranges):
+        if patch:
+            winners = resolve_partial_updates(chunk, emit_sets=True)
+            return table.merge_patch(winners, batch_id=batch_id, ranges=ranges)
+        winners = last_writer_wins(chunk, salt_buckets=salt_buckets)
+        return table.merge_into(winners, batch_id=batch_id, ranges=ranges)
+
     if chunk_size is None:
-        winners = last_writer_wins(events, salt_buckets=salt_buckets)
         ends = partition_end_offsets_from_metadata(events_path) or partition_end_offsets(events)
         ranges = {p: (0, e) for p, e in ends.items()}
-        results.append(table.merge_into(winners, batch_id=0, ranges=ranges))
+        results.append(apply(events, 0, ranges))
         for mv in maintained_views or ():
             mv.advance()
         return table, results
@@ -141,8 +157,7 @@ def replay(
         chunk = scan_events(spark, events_path, ranges=ranges, merge_schema=merge_schema)
         if wire:
             chunk = decode_transcript_events(chunk)
-        winners = last_writer_wins(chunk, salt_buckets=salt_buckets)
-        results.append(table.merge_into(winners, batch_id=i, ranges=ranges))
+        results.append(apply(chunk, i, ranges))
         for mv in maintained_views or ():
             mv.advance()
     return table, results

@@ -390,6 +390,46 @@ def test_bootstrap_differing_partition_starts(spark, tmp_path):
     assert table.read().collect()[0]["text"] == "tail-wins"
 
 
+def test_replay_patch_mode_chunked_matches_fold_oracle(spark, tmp_path):
+    """replay(patch=True): chunked batch ingest of a patch log through
+    merge_patch lands on the fold-oracle state, and a re-replay is
+    entirely fence-skipped."""
+    from kafka_plugins_spark.replay import replay
+
+    rows: list[dict] = []
+    offset = 0
+    for k in range(60):
+        conv = f"c{k:03d}"
+        for i in range((k * 31) % 6 + 1):
+            h = (k * 11 + i * 23) % 8
+            offset += 1
+            if i == 0:
+                rows.append(_ev(conv, 0, "I", offset, role="user", text=f"t{k}"))
+            elif h == 7:
+                rows.append(_ev(conv, 0, "D", offset))
+            else:
+                cols = [["text"], ["role"], ["tool"]][h % 3]
+                rows.append(
+                    _ev(conv, 0, "U", offset, cols_set=cols,
+                        **{c: f"v{k}-{i}" for c in cols})
+                )
+    ev_path = str(tmp_path / "patch_events")
+    spark.createDataFrame(rows, schema=SCHEMA).write.partitionBy("partition").parquet(
+        ev_path
+    )
+    table, results = replay(
+        spark, ev_path, str(tmp_path / "t"), chunk_size=40, patch=True
+    )
+    assert len([r for r in results if not r.skipped]) >= 2
+    got = _collect(table.read())
+    want = _fold_oracle(rows)
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["ts"]), want.drop(columns=["ts"]), check_dtype=False
+    )
+    _, again = replay(spark, ev_path, str(tmp_path / "t"), chunk_size=40, patch=True)
+    assert all(r.skipped for r in again)
+
+
 def test_compose_patch_plan_broadcasts_batch_no_full_outer(spark, tmp_path):
     """The 100 TB shape of merge_patch: a micro-batch against a stored
     table must NOT plan a full-outer sort-merge join (unbroadcastable —
