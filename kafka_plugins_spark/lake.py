@@ -66,6 +66,17 @@ class CommitResult:
     wall_ms: int = 0
 
 
+@dataclass
+class StagedCommit:
+    """Handle to a write-audit-publish staged merge (see
+    :meth:`ParquetSnapshotTable.stage_merge`)."""
+
+    token: str
+    snapshot_id: int
+    rows_applied: int = 0
+    ranges: dict[int, tuple[int, int]] = field(default_factory=dict)
+
+
 def _merge_intervals(iv: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """Merge overlapping/adjacent [start, end) intervals."""
     out: list[tuple[int, int]] = []
@@ -388,8 +399,12 @@ class ParquetSnapshotTable:
 
     # --- snapshot bookkeeping ---------------------------------------------
     def _snapshot_files(self) -> list[str]:
+        # digit-named only: staged-*.json (write-audit-publish) and any
+        # in-flight .tmp-*.json must stay invisible to readers
         d = os.path.join(self.path, SNAPSHOT_DIR)
-        return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()
+        )
 
     def current_snapshot(self) -> dict | None:
         files = self._snapshot_files()
@@ -792,7 +807,15 @@ class ParquetSnapshotTable:
             merged = _align_select(merged, stored_schema)
 
             snap_id = (snap_before or {"snapshot_id": -1})["snapshot_id"] + 1
-            data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+            # a STAGED merge writes to its own token-named dir: an
+            # interleaved real commit would otherwise reuse snap-{id} and
+            # overwrite the staged bytes (and a later abort would delete
+            # the published commit's data)
+            stage = getattr(self, "_stage_token", None)
+            data_name = (
+                f"snap-{snap_id:06d}" if stage is None else f"staged-{stage[7:-5]}"
+            )
+            data_path = os.path.join(self.path, "data", data_name)
             merged.write.mode("overwrite").parquet(data_path)
 
             if single_pass:
@@ -944,6 +967,110 @@ class ParquetSnapshotTable:
             )
         finally:
             fresh.unpersist()
+
+    # --- write-audit-publish (WAP) staging --------------------------------
+    # The Iceberg WAP pattern (spark.wap.id / branch commits) for the
+    # sandbox backend: run the full merge, land the snapshot under an
+    # invisible staged token, audit the EXACT bytes a publish would
+    # expose, then flip atomically — or abort without a trace. The fence
+    # advances only on publish, so an aborted batch's offsets are NOT
+    # burned and a re-stage reprocesses them.
+
+    def stage_merge(
+        self,
+        winners: DataFrame,
+        batch_id: int,
+        ranges: dict[int, tuple[int, int]] | None = None,
+    ) -> "StagedCommit | CommitResult":
+        """Run ``merge_into`` but write a STAGED snapshot readers never
+        see. Returns a :class:`StagedCommit` handle (or a skipped
+        ``CommitResult`` if the fence skipped the whole batch). Audit via
+        :meth:`read_staged`, then :meth:`publish_staged` /
+        :meth:`abort_staged`. CoW/MoR only (the bucketed manifest shares
+        live dirs with the base snapshot, so an abort could not safely
+        reclaim its data)."""
+        if self._write_mode() == "bucketed":
+            raise NotImplementedError(
+                "stage_merge supports CoW/MoR; a staged bucketed manifest "
+                "shares bucket dirs with the base snapshot and cannot be "
+                "aborted without a reference count"
+            )
+        self._stage_token = f"staged-{uuid.uuid4().hex}.json"
+        try:
+            res = self.merge_into(winners, batch_id=batch_id, ranges=ranges)
+        finally:
+            token, self._stage_token = self._stage_token, None
+        if res.skipped:
+            return res
+        return StagedCommit(
+            token=token,
+            snapshot_id=res.snapshot_id,
+            rows_applied=res.rows_applied,
+            ranges=res.ranges,
+        )
+
+    def _staged_snapshot(self, token: str) -> dict:
+        path = os.path.join(self.path, SNAPSHOT_DIR, token)
+        if not os.path.exists(path):
+            raise ValueError(f"no staged commit {token!r} (published or aborted?)")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def read_staged(self, staged: "StagedCommit | str") -> DataFrame:
+        """The exact visible table a ``publish_staged`` would expose —
+        the audit surface of the WAP flow."""
+        snap = self._staged_snapshot(getattr(staged, "token", staged))
+        payload = [f.name for f in self._schema_of(snap).fields]
+        return (
+            self._read_full(snap)
+            .filter(F.coalesce(F.col("_op") != "D", F.lit(True)))
+            .select(*payload)
+        )
+
+    def publish_staged(self, staged: "StagedCommit | str") -> CommitResult:
+        """Atomically expose a staged commit. Optimistic concurrency: the
+        staged merge was computed against a specific base snapshot; if
+        any commit landed since, the staged data is stale (it does not
+        contain the interleaved changes) and publishing raises — abort
+        and re-stage, exactly Iceberg's WAP conflict rule."""
+        token = getattr(staged, "token", staged)
+        snap = self._staged_snapshot(token)
+        cur = self.current_snapshot()
+        cur_id = None if cur is None else cur["snapshot_id"]
+        if cur_id != snap.get("based_on"):
+            raise RuntimeError(
+                f"staged commit {token!r} was built on snapshot "
+                f"{snap.get('based_on')} but the table head is now {cur_id}; "
+                "abort_staged() and re-stage against the current state"
+            )
+        publish = {k: v for k, v in snap.items() if k not in ("staged", "based_on")}
+        self._commit(snap["snapshot_id"], publish)
+        os.unlink(os.path.join(self.path, SNAPSHOT_DIR, token))
+        return CommitResult(
+            skipped=False,
+            snapshot_id=snap["snapshot_id"],
+            rows_applied=snap.get("rows_applied", 0),
+            ranges={
+                int(p): (lo, end)
+                for p, (lo, end) in (
+                    (r["partition"], (r["start_offset"], r["end_offset"]))
+                    for r in snap.get("lineage", [])
+                )
+            },
+            wall_ms=0,
+        )
+
+    def abort_staged(self, staged: "StagedCommit | str") -> None:
+        """Drop a staged commit and reclaim its data files. Only the
+        dirs the staged merge WROTE are deleted: its CoW rewrite dir, or
+        its MoR delta (the one path not referenced by the base)."""
+        token = getattr(staged, "token", staged)
+        snap = self._staged_snapshot(token)
+        published = {p for s in self.snapshots() for p in self._snapshot_paths(s)}
+        for p in self._snapshot_paths(snap):
+            if p not in published:
+                shutil.rmtree(p, ignore_errors=True)
+        os.unlink(os.path.join(self.path, SNAPSHOT_DIR, token))
 
     def _merge_bucketed(
         self,
@@ -1403,9 +1530,22 @@ class ParquetSnapshotTable:
         check-then-rename would let the second rename silently clobber
         the first commit. Single-writer remains the documented contract
         (Iceberg owns concurrency in prod); this makes violations loud.
+
+        When a :meth:`stage_merge` is in flight the snapshot lands under
+        its staged token instead (invisible to ``_snapshot_files``) with
+        the optimistic-concurrency base recorded for ``publish_staged``.
         """
         d = os.path.join(self.path, SNAPSHOT_DIR)
-        final = os.path.join(d, f"{snap_id:06d}.json")
+        token = getattr(self, "_stage_token", None)
+        if token is not None:
+            snapshot = {
+                **snapshot,
+                "staged": True,
+                "based_on": snap_id - 1 if snap_id > 0 else None,
+            }
+            final = os.path.join(d, token)
+        else:
+            final = os.path.join(d, f"{snap_id:06d}.json")
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(snapshot, fh, indent=2)
