@@ -435,6 +435,45 @@ def q_cdc_bootstrap(spark, sf):
     return out
 
 
+def q_cdc_wap(spark, sf):
+    """Write-audit-publish, verified end-to-end: merge the below-median
+    half of the events, STAGE the rest (invisible to readers), assert
+    the head did not move, publish atomically, and return read() — the
+    oracle converges all events from scratch, so a hash match proves the
+    staged bytes the audit saw are exactly what the publish exposed
+    (Iceberg's spark.wap.id flow; the reference has no staged-commit
+    notion — its sink writes are immediately visible)."""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = _events_ce(ev)
+    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    cut = hi // 2
+    scratch = tempfile.mkdtemp(prefix="wap_entry_")
+    table = ParquetSnapshotTable(spark, scratch)
+    table.merge_into(
+        last_writer_wins(ce.filter(F.col("offset") < cut)),
+        batch_id=0,
+        ranges={p: (0, cut) for p in range(8)},
+    )
+    head = table.current_snapshot()["snapshot_id"]
+    staged = table.stage_merge(
+        last_writer_wins(ce.filter(F.col("offset") >= cut)),
+        batch_id=1,
+        ranges={p: (cut, hi + 1) for p in range(8)},
+    )
+    assert table.current_snapshot()["snapshot_id"] == head, "stage leaked"
+    table.read_staged(staged).count()  # the audit pass
+    table.publish_staged(staged)
+    out = table.read().localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 _CDC_LWW_SQL = """
 SELECT user_id, event_type,
        arg_max(value, event_id) AS last_value,
@@ -480,6 +519,18 @@ CDC_ORACLES = {
         FROM pe
         GROUP BY conv_id
         HAVING arg_max(op, off) FILTER (WHERE op IN ('I', 'D')) = 'I'
+    """,
+    # same converged-state oracle shape as cdc_bootstrap: the WAP flow
+    # must land on exactly the from-scratch answer after stage→publish
+    "cdc_wap": """
+        SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+               0::INT                          AS turn_idx,
+               arg_max(event_type, event_id)   AS role,
+               CAST(max(event_id) AS VARCHAR)  AS text,
+               CAST(NULL AS VARCHAR)           AS tool,
+               arg_max(ts, event_id)           AS ts
+        FROM events GROUP BY user_id
+        HAVING arg_max(event_type, event_id) <> 'error'
     """,
     # converged state over ALL events — the oracle never sees the
     # bootstrap cut, which is the point
@@ -2398,6 +2449,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "emb_neardup": q_emb_neardup,
     "xdoc_dup": q_xdoc_dup,
+    # round-6 WAP flow: engine-drive row, pytest-verified against the
+    # converged-state oracle (driver registry stays at its 50-row cap)
+    "cdc_wap": q_cdc_wap,
 }
 
 ORACLES: dict[str, str] = {
