@@ -136,6 +136,17 @@ def ops_report(
         "rows_applied": None if snap is None else snap.get("rows_applied"),
         "snapshots_retained": len(table._snapshot_files()),
         "live_data_dirs": table.live_data_dirs(),
+        # un-published write-audit-publish stages: each holds data on
+        # disk and goes stale the moment any commit lands — a non-empty
+        # list after a pipeline run is an operator signal (publish or
+        # abort), invisible to readers and easy to forget
+        "staged_commits": sorted(
+            f
+            for f in os.listdir(os.path.join(table.path, SNAPSHOT_DIR))
+            if f.startswith("staged-") and f.endswith(".json")
+        )
+        if os.path.isdir(os.path.join(table.path, SNAPSHOT_DIR))
+        else [],
         "fence": fence,
         "gaps": gaps,
     }

@@ -104,6 +104,7 @@ def test_cli_report_golden_on_gapped_backfill(spark, tmp_path, capsys):
         "rows_applied": 10,
         "snapshots_retained": 2,
         "live_data_dirs": 1,
+        "staged_commits": [],
         "fence": {"0": {"intervals": [[0, 10], [20, 30]], "watermark": 10}},
         "gaps": {"0": [[10, 20]]},
         "lag": {"0": {"start_offset": 5, "end_offset": 30,
@@ -123,6 +124,20 @@ def test_cli_report_golden_on_gapped_backfill(spark, tmp_path, capsys):
     assert rep["caught_up"] is True and rep["gaps"] == {}
     assert rep["fence"]["0"]["watermark"] == 30
     assert rep["maintained_views"] == [{"path": mv_dir, "as_of": 2, "stale": False}]
+
+    # an un-published WAP stage is an operator signal: report names it
+    staged = table.stage_merge(
+        last_writer_wins(_batch(spark, [("d0", "user", "x", "I", 30)])),
+        batch_id=3,
+        ranges={0: (30, 31)},
+    )
+    assert main(["report", "--table", tbl]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["staged_commits"] == [staged.token]
+    table.abort_staged(staged)
+    assert main(["report", "--table", tbl]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["staged_commits"] == []
 
 
 def test_ops_report_schedules_zero_spark_jobs(spark, tmp_path):
