@@ -556,7 +556,17 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
             {"round": i, "engine_eff": h["engine_eff"], "control_eff": h["control_eff"]}
         )
 
-    best_round = max(round_effs, key=lambda r: r["engine_eff"])
+    # A 2→8 engine efficiency meaningfully above 1.0 is physically
+    # implausible for this job (no superlinear effect applies: the 8-core
+    # run has the same per-core cache/memory share or less) — it means the
+    # 2-core side was host-stalled, inflating the ratio. Such rounds stay
+    # in the median (the robust estimator, where degraded-lo and
+    # degraded-hi rounds offset) but are excluded from the best-round
+    # headline, which would otherwise report a host artifact as engine
+    # evidence.
+    plausible = [r for r in round_effs if r["engine_eff"] <= 1.05]
+    artifact_rounds = [r for r in round_effs if r["engine_eff"] > 1.05]
+    best_round = max(plausible or round_effs, key=lambda r: r["engine_eff"])
     med = sorted(r["engine_eff"] for r in round_effs)[len(round_effs) // 2]
 
     # windowed + host-correlation summary (VERDICT r3 item 7): the history
@@ -666,7 +676,16 @@ def scaling(sf_dir: str, rounds: int = 5, multiplier: int = 4, pair: tuple[int, 
             f"windowed median (last 10 rounds) {windowed_med}, "
             f"best-of-runs {round(best_of_eff, 3)} "
             f"(north-rule target ≥ 0.8).\n\n"
-            "Host correlation of the misses — rounds split at the 0.8 bar,\n"
+            + (
+                f"{len(artifact_rounds)} round(s) measured engine eff > 1.05 "
+                "(superlinear 2→8 is physically implausible here — the "
+                "2-core side was host-stalled while busy, inflating the "
+                "ratio); they are kept in the median but excluded from the "
+                "best-round headline.\n\n"
+                if artifact_rounds
+                else ""
+            )
+            + "Host correlation of the misses — rounds split at the 0.8 bar,\n"
             "with the mean host-health signals of each group (a sub-0.8\n"
             "group that is also control-degraded/steal-heavy points at the\n"
             "host, not the engine):\n\n"
