@@ -108,14 +108,23 @@ def ops_report(
     fence: dict[str, dict] = {}
     for p, iv in sorted(delivered.items()):
         start = starts.get(p, 0)
+        # Gaps and watermark are computed over the RETENTION-CLAMPED view
+        # [start, ∞) — the same clamping consumer_lag applies — so the
+        # same report never tells the operator to re-ingest offsets the
+        # broker trimmed (un-reingestable) nor carries a fence watermark
+        # that contradicts the lag block's. 'intervals' stays the raw
+        # delivered set: the truthful record of what was ever committed.
+        viv = [(max(s, start), e) for s, e in iv if e > start]
         # holes an operator must re-ingest: the LEADING hole from the log's
         # beginning offset (review finding: delivered [(20,30)] used to
         # report gaps={} although [start,20) was never delivered) plus
         # every hole between intervals
         holes = (
-            [[start, iv[0][0]]] if iv and iv[0][0] > start else []
+            [[start, viv[0][0]]] if viv and viv[0][0] > start else []
         ) + [
-            [iv[i][1], iv[i + 1][0]] for i in range(len(iv) - 1) if iv[i][1] < iv[i + 1][0]
+            [viv[i][1], viv[i + 1][0]]
+            for i in range(len(viv) - 1)
+            if viv[i][1] < viv[i + 1][0]
         ]
         if holes:
             gaps[str(p)] = holes
@@ -125,7 +134,7 @@ def ops_report(
             # supplied, a fully-caught-up consumer of a retention-trimmed
             # log no longer shows a watermark stuck at 0 (consistent with
             # the lag block below)
-            "watermark": int(iv[0][1]) if iv and iv[0][0] <= start else start,
+            "watermark": int(viv[0][1]) if viv and viv[0][0] <= start else start,
         }
     out: dict = {
         "table": table.path,

@@ -900,18 +900,25 @@ class ParquetSnapshotTable:
             decision = fence_decision(ranges, delivered)
             if decision.skip:
                 return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
-            if decision.needs_filter:
-                in_order = all(
-                    not delivered.get(p) or lo >= delivered[p][-1][1]
-                    for p, (lo, _) in ranges.items()
-                )
-                if not in_order:
+            # Order enforcement runs for EVERY ranged batch, not only those
+            # that overlap a delivered interval: a gap backfill (range
+            # entirely inside an undelivered hole below the watermark,
+            # e.g. delivered=[(10,20)] and range (0,10)) overlaps nothing,
+            # but composing its stale column values over newer stored
+            # state would regress the table just the same. Per partition a
+            # range must be either fully covered (idempotent retry — rows
+            # dropped below) or start at/past the delivered watermark.
+            for p, (lo, hi) in ranges.items():
+                ivs = delivered.get(p, [])
+                if ivs and lo < ivs[-1][1] and not _interval_covered(lo, hi, ivs):
                     raise ValueError(
-                        "merge_patch requires in-order batches: range starts "
-                        f"{ranges} overlap delivered {delivered}; re-resolve the "
-                        "overlap with resolve_partial_updates over the raw "
-                        "events instead"
+                        "merge_patch requires in-order batches: range "
+                        f"[{lo}, {hi}) on partition {p} starts below the "
+                        f"delivered watermark {ivs[-1][1]} without being a "
+                        "covered replay; re-resolve the overlap with "
+                        "resolve_partial_updates over the raw events instead"
                     )
+            if decision.needs_filter:
                 patch_winners = _drop_delivered(patch_winners, delivered)
         snap_before = self.current_snapshot()
 
@@ -1044,6 +1051,25 @@ class ParquetSnapshotTable:
                 "abort_staged() and re-stage against the current state"
             )
         publish = {k: v for k, v in snap.items() if k not in ("staged", "based_on")}
+        # Deferred from _finalize_commit (see there): the stage wrote no
+        # lineage, so the publish — the moment the batch becomes durable
+        # table state — appends it, reconstructed from the staged
+        # snapshot's own fields. Same crash tolerance as the direct merge
+        # path (lineage lands just before the snapshot commit).
+        _append_lineage_file(
+            os.path.join(self.path, LINEAGE_DIR),
+            [
+                (
+                    int(snap.get("batch_id", -1)),
+                    int(r["partition"]),
+                    int(r["start_offset"]),
+                    int(r["end_offset"]),
+                    int(r["rows"]),
+                    int(snap.get("wall_ms", 0)),
+                )
+                for r in snap.get("lineage", [])
+            ],
+        )
         self._commit(snap["snapshot_id"], publish)
         os.unlink(os.path.join(self.path, SNAPSHOT_DIR, token))
         return CommitResult(
@@ -1311,7 +1337,12 @@ class ParquetSnapshotTable:
             (int(batch_id), p, int(lo), int(end), int(n), wall_ms)
             for p, (lo, end, n) in sorted(per_part.items())
         ]
-        _append_lineage_file(os.path.join(self.path, LINEAGE_DIR), lineage_rows)
+        # A STAGED commit defers its lineage append to publish_staged:
+        # lineage records what the table durably ingested, and an aborted
+        # stage never did — appending here would leave phantom rows after
+        # an abort and double rows after the abort-then-re-merge flow.
+        if getattr(self, "_stage_token", None) is None:
+            _append_lineage_file(os.path.join(self.path, LINEAGE_DIR), lineage_rows)
 
         new_delivered = {p: list(iv) for p, iv in delivered.items()}
         for p, (lo, end, _) in per_part.items():
@@ -1496,7 +1527,17 @@ class ParquetSnapshotTable:
         # All data dirs live under <table>/data/, so basenames are unique.
         live: set[str] = set()
         d = os.path.join(self.path, SNAPSHOT_DIR)
-        for f in keep:
+        # In-flight write-audit-publish stages are invisible to readers
+        # (_snapshot_files is digit-named only) but their data dirs are
+        # NOT garbage: a later publish_staged exposes them, so expiring
+        # while an audit is running must keep them or the published
+        # snapshot would reference deleted files.
+        staged = [
+            f
+            for f in os.listdir(d)
+            if f.startswith("staged-") and f.endswith(".json")
+        ]
+        for f in keep + staged:
             with open(os.path.join(d, f)) as fh:
                 for p in self._snapshot_paths(json.load(fh)):
                     q = os.path.normpath(p)
@@ -2068,6 +2109,23 @@ def snapshot_diff_changes(
 
     if before is None:
         return after.withColumn("_change_type", F.lit("insert"))
+    # Schema evolution between the two states: a column added after the
+    # 'before' snapshot reads as NULL on the before side (parquet
+    # merged-schema semantics), so the evolved row diffs as an update
+    # whose new column goes NULL → value instead of crashing on a
+    # column-not-found. Columns dropped in 'after' are diffed under
+    # after's schema (the changelog describes what turns before INTO
+    # after, in after's shape).
+    missing = [c for c in payload if c not in before.columns]
+    if missing:
+        after_fields = {f.name: f for f in after.schema.fields}
+        before = before.select(
+            *before.columns,
+            *[
+                F.lit(None).cast(after_fields[c].dataType).alias(c)
+                for c in missing
+            ],
+        )
     j = tagged(before, "a").join(
         tagged(after, "b"), F.col("_a_k").eqNullSafe(F.col("_b_k")), "full_outer"
     )

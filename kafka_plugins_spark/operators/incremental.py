@@ -208,22 +208,28 @@ def refresh_affected_groups(
     return kept.unionByName(agg_fn(touched_rows))
 
 
-def maintained_view_as_of(path: str) -> int | None:
-    """Newest table snapshot id a maintained view's state dir reflects —
-    the side-effect-free read `ops_report` polls (no mkdir, no Spark).
-    Single source of truth for the ``state-<snapshot_id>`` naming;
-    `_MaintainedState._states` delegates here. Non-numeric ``state-*``
-    entries (editor droppings, partial copies) are ignored rather than
-    crashing a monitoring poll."""
+def _state_ids(path: str) -> list[int]:
+    """Sorted snapshot ids under a maintained view's state dir — the
+    single source of truth for the ``state-<snapshot_id>`` naming, used
+    by both `maintained_view_as_of` and `_MaintainedState`. Non-numeric
+    ``state-*`` entries (editor droppings, partial copies) are ignored
+    rather than crashing a monitoring poll."""
     if not os.path.isdir(path):
-        return None
+        return []
     out = []
     for name in os.listdir(path):
         if name.startswith("state-"):
             suffix = name.split("-", 1)[1]
             if suffix.isdigit():
                 out.append(int(suffix))
-    return max(out) if out else None
+    return sorted(out)
+
+
+def maintained_view_as_of(path: str) -> int | None:
+    """Newest table snapshot id a maintained view's state dir reflects —
+    the side-effect-free read `ops_report` polls (no mkdir, no Spark)."""
+    ids = _state_ids(path)
+    return ids[-1] if ids else None
 
 
 class _MaintainedState:
@@ -244,13 +250,7 @@ class _MaintainedState:
         os.makedirs(self.path, exist_ok=True)
 
     def _states(self) -> list[int]:
-        out = []
-        for name in os.listdir(self.path):
-            if name.startswith("state-"):
-                suffix = name.split("-", 1)[1]
-                if suffix.isdigit():  # same tolerance as maintained_view_as_of
-                    out.append(int(suffix))
-        return sorted(out)
+        return _state_ids(self.path)
 
     def _state_dir(self, snapshot_id: int) -> str:
         return os.path.join(self.path, f"state-{snapshot_id:06d}")

@@ -56,18 +56,30 @@ def bootstrap(
     out-offsets (a key's tail events live in its pinned partition ``p``
     at offsets ``>= start_p >= min(start)``), so read-side and merge-side
     LWW always prefer tail data over the dump — for ANY key→partition
-    assignment, which is why the synthetic ``partition`` column
-    (``pmod(xxhash64(conv_id), n)``) is bookkeeping, not correctness.
+    assignment, which is why the synthetic ``partition`` column (the
+    claimed partition id at index ``pmod(xxhash64(conv_id), n)``) is
+    bookkeeping, not correctness.
     """
     start_offsets = {int(p): int(s) for p, s in start_offsets.items()}
     if not start_offsets:
         raise ValueError("start_offsets must name at least one partition")
     base = min(start_offsets.values()) - 1
-    n_parts = len(start_offsets)
+    # The synthetic partition must be one of the CLAIMED partition ids:
+    # hashing into 0..n-1 regardless of the claimed set would, for a
+    # non-contiguous id set like {3, 7}, record delivered intervals at
+    # the synthetic offset on partitions 0 and 1 — partitions the caller
+    # never claimed — permanently fencing out their real events there.
+    part_ids = sorted(start_offsets)
+    part_arr = F.array(*[F.lit(p) for p in part_ids])
     rows = snapshot_df.select(
         *snapshot_df.columns,
         F.lit("I").alias("op"),
-        F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int").alias("partition"),
+        F.element_at(
+            part_arr,
+            (F.pmod(F.xxhash64("conv_id"), F.lit(len(part_ids))) + 1).cast("int"),
+        )
+        .cast("int")
+        .alias("partition"),
         F.lit(base).cast("long").alias("offset"),
     )
     ranges = {p: (0, s) for p, s in start_offsets.items() if s > 0}

@@ -86,3 +86,25 @@ def test_bootstrap_tail_events_beat_dump_rows_for_any_partition_assignment(
         events.filter(F.col("offset") >= CUT).agg(F.min("offset")).collect()[0][0]
     )
     assert stored_max < tail_min
+
+
+def test_bootstrap_noncontiguous_partition_ids_fence_only_claimed(spark, tmp_path):
+    """Claimed partition ids need not be 0..n-1 (a subset-consumer or a
+    reassigned topic): the synthetic dump partition must map into the
+    CLAIMED id set, so delivered intervals land only on claimed
+    partitions (code-review finding: pmod over len(start_offsets) used
+    to fence out real events on unclaimed partitions 0..n-1)."""
+    dump = spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"t{i}", None, None) for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    table, res = bootstrap(spark, dump, str(tmp_path / "t"), {3: 100, 7: 50})
+    assert not res.skipped
+    delivered = table.delivered_ranges()
+    assert set(delivered) == {3, 7}, f"unclaimed partitions fenced: {delivered}"
+    assert delivered[3][-1][1] == 100 and delivered[7][-1][1] == 50
+    # every dump row is visible and offsets sit below BOTH cuts
+    assert table.read().count() == 20
+    stored = table._read_full().select("_partition", "_offset").distinct().collect()
+    assert {r["_partition"] for r in stored} <= {3, 7}
+    assert all(r["_offset"] < 50 for r in stored)

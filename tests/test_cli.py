@@ -164,3 +164,37 @@ def test_ops_report_schedules_zero_spark_jobs(spark, tmp_path):
     rep = ops_report(table, end_offsets={0: 5}, start_offsets={0: 0})
     assert njobs() == j0, "ops_report must schedule zero Spark jobs"
     assert rep["caught_up"] is True and rep["snapshot_id"] == 0
+
+
+def test_ops_report_clamps_gaps_and_watermark_to_retention_start(spark, tmp_path):
+    """With broker beginningOffsets past a delivered prefix, the fence
+    block must not tell the operator to re-ingest trimmed offsets nor
+    carry a watermark that contradicts the lag block (code-review
+    finding: delivered [(0,5),(20,30)] with start=10 used to report
+    fence.watermark=5 and a gap [5,20) including un-reingestable
+    [5,10))."""
+    from kafka_plugins_spark.connector import ops_report
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"a{i}", "user", "x", "I", i) for i in range(5)])),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"b{i}", "user", "x", "I", 20 + i) for i in range(10)])),
+        batch_id=1,
+    )
+    assert table.delivered_ranges()[0] == [(0, 5), (20, 30)]
+
+    rep = ops_report(table, end_offsets={0: 30}, start_offsets={0: 10})
+    # raw intervals stay truthful; gaps and watermark are retention-clamped
+    assert rep["fence"]["0"]["intervals"] == [[0, 5], [20, 30]]
+    assert rep["gaps"] == {"0": [[10, 20]]}
+    assert rep["fence"]["0"]["watermark"] == rep["lag"]["0"]["watermark"] == 10
+    # a start past every hole: fully caught up, no gaps, no contradiction
+    rep2 = ops_report(table, end_offsets={0: 30}, start_offsets={0: 20})
+    assert rep2["gaps"] == {} and rep2["caught_up"] is True
+    assert rep2["fence"]["0"]["watermark"] == rep2["lag"]["0"]["watermark"] == 30

@@ -474,3 +474,37 @@ def test_snapshot_diff_is_null_safe_on_keys(spark):
         ("k1", 0, "old", "update_before"), ("k1", 0, "new", "update_after"),
         (None, 1, "was", "update_before"), (None, 1, "now", "update_after"),
     ], key=str), got
+
+
+def test_snapshot_diff_changes_across_schema_evolution(spark, tmp_path):
+    """Diffing across a commit that ADDED a column must not crash
+    (code-review finding: the before frame was projected with after's
+    column list): the new column reads as NULL on the before side, so an
+    evolved row diffs as an update whose new column goes NULL → value —
+    matching parquet merged-schema semantics and changes_between."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable, snapshot_diff_changes
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from pyspark.sql import functions as F
+    from tests.test_lake import _batch
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    r1 = table.merge_into(
+        last_writer_wins(_batch(spark, [("k0", "user", "a", "I", 0),
+                                        ("k1", "user", "b", "I", 1)])),
+        batch_id=0,
+    )
+    evolved = last_writer_wins(
+        _batch(spark, [("k0", "user", "a2", "U", 10)]).withColumn(
+            "lang", F.lit("en")
+        )
+    )
+    r2 = table.merge_into(evolved, batch_id=1)
+
+    before, after = table.read(r1.snapshot_id), table.read(r2.snapshot_id)
+    assert "lang" in after.columns and "lang" not in before.columns
+    diff = snapshot_diff_changes(before, after)
+    rows = {(r["conv_id"], r["_change_type"]): r for r in diff.collect()}
+    # k0 churns as an update pair with lang NULL -> 'en'; k1 unchanged
+    assert set(rows) == {("k0", "update_before"), ("k0", "update_after")}
+    assert rows[("k0", "update_before")]["lang"] is None
+    assert rows[("k0", "update_after")]["lang"] == "en"

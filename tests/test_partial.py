@@ -484,3 +484,48 @@ def test_partial_resolve_feeds_merge_into(spark, tmp_path):
     table.merge_into(winners, batch_id=0, ranges={0: (0, 4)})
     got = {r["conv_id"]: r["text"] for r in table.read().collect()}
     assert got == {"a": "patched"}
+
+
+def test_merge_patch_rejects_gap_backfill_below_watermark(spark, tmp_path):
+    """A batch entirely inside an undelivered HOLE below the watermark
+    overlaps no delivered interval, but composing its stale column
+    values over newer stored state would regress the table — the
+    in-order guard must fire even without overlap (code-review finding:
+    the check used to be gated on fence_decision.needs_filter, which a
+    non-overlapping backfill never sets)."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    b = _run(spark, [_ev("a", 0, "I", 12, role="user", text="new")], emit_sets=True)
+    table.merge_patch(b, batch_id=0, ranges={0: (10, 20)})
+    stale = _run(
+        spark,
+        [_ev("a", 0, "U", 5, cols_set=["text"], text="stale")],
+        emit_sets=True,
+    )
+    with pytest.raises(ValueError, match="in-order"):
+        table.merge_patch(stale, batch_id=1, ranges={0: (0, 10)})
+    assert table.read().collect()[0]["text"] == "new"
+
+
+def test_merge_patch_mixed_retry_partition_drops_only_covered_rows(spark, tmp_path):
+    """A multi-partition batch where one partition is a fully-covered
+    retry and the other is new in-order data must apply the new rows and
+    drop the replayed ones (the partial-failure retry case), not raise."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    first = [_ev("a", 0, "I", 0, role="user", text="x")]
+    table.merge_patch(_run(spark, first, emit_sets=True), batch_id=0, ranges={0: (0, 2)})
+    retry_plus_new = first + [
+        dict(_ev("b", 0, "I", 0, role="user", text="y"), partition=1)
+    ]
+    res = table.merge_patch(
+        _run(spark, retry_plus_new, emit_sets=True),
+        batch_id=1,
+        ranges={0: (0, 2), 1: (0, 2)},
+    )
+    assert not res.skipped
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"a": "x", "b": "y"}
+    assert table.delivered_ranges() == {0: [(0, 2)], 1: [(0, 2)]}

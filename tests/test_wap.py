@@ -116,3 +116,50 @@ def test_stage_refused_for_bucketed(spark, tmp_path):
     table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=4)
     with pytest.raises(NotImplementedError, match="bucketed"):
         table.stage_merge(_winners(spark, B0), batch_id=0, ranges={0: (0, 2)})
+
+
+def test_expire_snapshots_keeps_inflight_staged_data(spark, tmp_path):
+    """Retention running mid-audit must not collect a staged commit's
+    data dir: the stage is invisible to _snapshot_files (digit-named
+    only), but a later publish exposes it — expiring its files would
+    publish a snapshot referencing deleted data AND burn the batch's
+    offsets (code-review finding)."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(_winners(spark, B0), batch_id=0, ranges={0: (0, 2)})
+    table.merge_into(  # second snapshot so expire has something to drop
+        _winners(spark, [("c1", 0, "user", "hello2", None, "U", 0, 10)]),
+        batch_id=1,
+        ranges={0: (2, 11)},
+    )
+    staged = table.stage_merge(_winners(spark, B1), batch_id=2, ranges={0: (11, 13)})
+    table.expire_snapshots(keep_last=1)
+    table.publish_staged(staged)
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"c1": "hello2", "c2": "final", "c3": "new"}
+
+
+def test_staged_lineage_lands_at_publish_not_stage(spark, tmp_path):
+    """Lineage records what the table durably ingested: an aborted stage
+    must leave none (else the abort-then-re-merge flow double-counts the
+    batch), and a published stage must land exactly one set of rows."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(_winners(spark, B0), batch_id=0, ranges={0: (0, 2)})
+
+    staged = table.stage_merge(_winners(spark, B1), batch_id=1, ranges={0: (2, 4)})
+    assert table.read_lineage().filter(F.col("batch_id") == 1).count() == 0
+    table.abort_staged(staged)
+    assert table.read_lineage().filter(F.col("batch_id") == 1).count() == 0
+
+    # re-merge after abort: exactly one lineage row set for the batch
+    table.merge_into(_winners(spark, B1), batch_id=1, ranges={0: (2, 4)})
+    assert table.read_lineage().filter(F.col("batch_id") == 1).count() == 1
+
+    staged2 = table.stage_merge(
+        _winners(spark, [("c4", 0, "user", "late", None, "I", 0, 4)]),
+        batch_id=2,
+        ranges={0: (4, 5)},
+    )
+    table.publish_staged(staged2)
+    rows = table.read_lineage().filter(F.col("batch_id") == 2).collect()
+    assert len(rows) == 1
+    assert (rows[0]["partition"], rows[0]["start_offset"], rows[0]["end_offset"]) == (0, 4, 5)
