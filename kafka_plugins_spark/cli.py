@@ -82,6 +82,19 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--expire-keep", type=int, default=None,
                     help="after compacting, expire history keeping the last N snapshots")
 
+    pg = sub.add_parser(
+        "purge",
+        help="GDPR hard delete: rewrite the affected files without the "
+             "named conversations' rows (bucketed: only touched buckets); "
+             "--purge-history also expires time travel to the purge commit",
+    )
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--conv-id", action="append", required=True,
+                    help="conversation id to forget (repeatable)")
+    pg.add_argument("--purge-history", action="store_true",
+                    help="also expire history so no retained file holds the text")
+    pg.add_argument("--cores", type=int, default=None)
+
     pk = sub.add_parser("package", help="zip the library for spark-submit --py-files")
     pk.add_argument("--out", default="kafka_plugins_spark.zip")
 
@@ -208,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "purge":
+        spark = get_spark("cdc-purge", cores=args.cores)
+        from kafka_plugins_spark.lake import ParquetSnapshotTable
+
+        table = ParquetSnapshotTable(spark, args.table)
+        res = table.purge_keys(args.conv_id, purge_history=args.purge_history)
+        res["wall_sec"] = round(time.monotonic() - t0, 2)
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "package":

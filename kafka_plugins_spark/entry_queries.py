@@ -474,6 +474,44 @@ def q_cdc_wap(spark, sf):
     return out
 
 
+def q_cdc_purge(spark, sf):
+    """GDPR hard delete, verified end-to-end: converge every event into
+    a scratch table, ``purge_keys`` the conversations with
+    ``user_id % 29 == 0``, and return ``read()`` — the oracle converges
+    from scratch EXCLUDING those users, so a hash match proves the purge
+    removed exactly the named keys and nothing else. (That the purged
+    text is gone from the data files, the fence is untouched, and the
+    changelog emits deletes is pinned byte-level in tests/test_purge.py;
+    this row pins the resolved-state semantics against SQL.)"""
+    import shutil
+    import tempfile
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    ev = _t(spark, sf, "events")
+    ce = _events_ce(ev)
+    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    purged = [
+        str(r["user_id"])
+        for r in ev.filter(F.pmod("user_id", F.lit(29)) == 0)
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    scratch = tempfile.mkdtemp(prefix="purge_entry_")
+    table = ParquetSnapshotTable(spark, scratch)
+    table.merge_into(
+        last_writer_wins(ce),
+        batch_id=0,
+        ranges={p: (0, hi + 1) for p in range(8)},
+    )
+    table.purge_keys(purged)
+    out = table.read().localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 _CDC_LWW_SQL = """
 SELECT user_id, event_type,
        arg_max(value, event_id) AS last_value,
@@ -530,6 +568,22 @@ CDC_ORACLES = {
                CAST(NULL AS VARCHAR)           AS tool,
                arg_max(ts, event_id)           AS ts
         FROM events GROUP BY user_id
+        HAVING arg_max(event_type, event_id) <> 'error'
+    """,
+    # converged state EXCLUDING the purged users: a hash match proves
+    # purge_keys removed exactly those keys and nothing else (the
+    # bytes-level removal and fence invariants are pinned in
+    # tests/test_purge.py)
+    "cdc_purge": """
+        SELECT CAST(user_id AS VARCHAR)       AS conv_id,
+               0::INT                          AS turn_idx,
+               arg_max(event_type, event_id)   AS role,
+               CAST(max(event_id) AS VARCHAR)  AS text,
+               CAST(NULL AS VARCHAR)           AS tool,
+               arg_max(ts, event_id)           AS ts
+        FROM events
+        WHERE user_id % 29 <> 0
+        GROUP BY user_id
         HAVING arg_max(event_type, event_id) <> 'error'
     """,
     # converged state over ALL events — the oracle never sees the
@@ -2452,6 +2506,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-6 WAP flow: engine-drive row, pytest-verified against the
     # converged-state oracle (driver registry stays at its 50-row cap)
     "cdc_wap": q_cdc_wap,
+    # round-6 GDPR purge: engine-drive row, pytest-verified — converged
+    # state minus the purged keys must hash-match the filtered oracle
+    "cdc_purge": q_cdc_purge,
 }
 
 ORACLES: dict[str, str] = {

@@ -1484,6 +1484,139 @@ class ParquetSnapshotTable:
         self._commit(snap_id, new_snap)
         return CommitResult(skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"])
 
+    def purge_keys(
+        self, conv_ids: list[str], purge_history: bool = False
+    ) -> dict:
+        """Hard-delete every row of the named conversations — the GDPR /
+        right-to-be-forgotten maintenance action, OUTSIDE the CDC stream
+        (the reference has no deletion story at all: its sink is
+        append-only, ``KafkaBatchSink`` provenance in this class's
+        docstring).
+
+        Unlike a CDC ``op='D'`` tombstone — which hides the row but
+        preserves its bytes in the tombstone itself, in MoR deltas, and
+        in history — the purge REWRITES the affected files without the
+        keys' rows, so the purge snapshot's data contains none of their
+        text. Per mode: CoW rewrites the store (O(table), like any CoW
+        commit); MoR folds every delta into one resolved dir (any delta
+        may hold a key's pre-image); bucketed rewrites ONLY the buckets
+        the keys hash into and carries the rest by reference —
+        O(touched buckets): purging one conversation from a 100 TB /
+        ``n_buckets=16384`` table rewrites a few GB, not the table.
+
+        Tombstones of OTHER keys are kept (they still fence
+        resurrection), so a purge is safe at any time — no watermark
+        precondition, unlike :meth:`compact`.
+
+        What a purge deliberately does NOT do:
+
+        - delivered intervals / watermarks are UNCHANGED — a purge
+          consumes no offsets, and future change events for a purged
+          conversation legitimately re-insert it (the upstream log is
+          the source of truth; forget it there too, via topic retention
+          or compaction);
+        - with ``purge_history=False`` older snapshots still reference
+          the pre-purge files, so time travel can read the text until
+          :meth:`expire_snapshots`. ``purge_history=True`` expires
+          history down to the purge commit in the same call — the
+          compliance-complete spelling;
+        - the purged ``conv_ids`` are NOT recorded in the snapshot
+          (persisting the identifier being forgotten defeats the
+          purpose); the snapshot carries only counts.
+
+        ``changes_between`` across the purge commit emits ``delete``
+        rows for the purged keys, so maintained views advance
+        consistently (tests pin this).
+
+        Iceberg spelling: ``DELETE FROM t WHERE conv_id IN (...)`` with
+        ``write.delete.mode=copy-on-write`` + ``expire_snapshots``;
+        the id list is a driver-side literal (compliance requests are
+        human-scale, not data-scale).
+        """
+        t0 = time.monotonic()
+        snap = self.current_snapshot()
+        if snap is None or not conv_ids:
+            return {"skipped": True, "rows_purged": 0}
+        ids = sorted(set(conv_ids))
+        snap_id = snap["snapshot_id"] + 1
+        data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+        new_snap = dict(snap)
+        stored = _with_system_columns(self._schema_of(snap))
+        buckets_rewritten = None
+        if "bucket_paths" in snap:
+            n = int(snap["n_buckets"])
+            manifest = dict(snap["bucket_paths"])
+            # one tiny job maps the id list to bucket ids (JVM xxhash64 —
+            # same no-Python-reimplementation rule as read_key)
+            id_df = self.spark.createDataFrame([(i,) for i in ids], "conv_id string")
+            hit = {
+                r["b"]
+                for r in id_df.select(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            todo = sorted(b for b in hit if str(b) in manifest)
+            if not todo:
+                return {"skipped": True, "rows_purged": 0}
+            src = self.spark.read.schema(stored).parquet(
+                *[manifest[str(b)] for b in todo]
+            )
+            rows_purged = src.filter(F.col("conv_id").isin(ids)).count()
+            if rows_purged == 0:
+                return {"skipped": True, "rows_purged": 0}
+            kept = src.filter(~F.col("conv_id").isin(ids))
+            bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+            (
+                kept.withColumn("_bucket", bucket_of)
+                .repartition(len(todo), F.col("_bucket"))
+                .sortWithinPartitions("_bucket", *KEY_COLUMNS)
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(data_path)
+            )
+            for b in todo:
+                bdir = os.path.join(data_path, f"_bucket={b}")
+                if os.path.isdir(bdir):
+                    manifest[str(b)] = bdir
+                else:  # every row in the bucket belonged to purged keys
+                    manifest.pop(str(b), None)
+            new_snap["bucket_paths"] = manifest
+            buckets_rewritten = len(todo)
+        else:
+            full = self._read_full()
+            rows_purged = full.filter(F.col("conv_id").isin(ids)).count()
+            if rows_purged == 0:
+                return {"skipped": True, "rows_purged": 0}
+            kept = full.filter(~F.col("conv_id").isin(ids))
+            kept.write.mode("overwrite").parquet(data_path)
+            if "data_paths" in new_snap:
+                new_snap["data_paths"] = [data_path]
+                new_snap.pop("data_path", None)
+            else:
+                new_snap["data_path"] = data_path
+        new_snap.update(
+            snapshot_id=snap_id,
+            lineage=[],
+            rows_applied=0,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            purge={"n_keys": len(ids), "rows_purged": int(rows_purged)},
+        )
+        self._commit(snap_id, new_snap)
+        out = {
+            "skipped": False,
+            "snapshot_id": snap_id,
+            "rows_purged": int(rows_purged),
+            "n_keys": len(ids),
+            "wall_ms": new_snap["wall_ms"],
+        }
+        if buckets_rewritten is not None:
+            out["buckets_rewritten"] = buckets_rewritten
+        if purge_history:
+            out["expired"] = self.expire_snapshots(keep_last=1)
+        return out
+
     def rollback_to(self, snapshot_id: int) -> CommitResult:
         """Roll the table back to an earlier snapshot's state by
         committing a NEW snapshot replicating it (append-only history,

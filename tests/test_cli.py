@@ -198,3 +198,26 @@ def test_ops_report_clamps_gaps_and_watermark_to_retention_start(spark, tmp_path
     rep2 = ops_report(table, end_offsets={0: 30}, start_offsets={0: 20})
     assert rep2["gaps"] == {} and rep2["caught_up"] is True
     assert rep2["fence"]["0"]["watermark"] == rep2["lag"]["0"]["watermark"] == 30
+
+
+def test_cli_purge_subcommand(spark, tmp_path, capsys):
+    """`purge --conv-id X --purge-history`: the operator spelling of
+    purge_keys, emitting the audit JSON (counts, never the ids)."""
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from tests.test_lake import _batch
+
+    tbl = str(tmp_path / "tbl")
+    table = ParquetSnapshotTable(spark, tbl)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("keep", "user", "a", "I", 0),
+                                        ("forget", "user", "SECRET", "I", 1)])),
+        batch_id=0,
+    )
+    assert main(["purge", "--table", tbl, "--conv-id", "forget",
+                 "--purge-history"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_purged"] == 1 and res["n_keys"] == 1
+    assert res["expired"]["snapshots_removed"] >= 1
+    got = {r["conv_id"] for r in table.read().collect()}
+    assert got == {"keep"}

@@ -1,0 +1,162 @@
+"""purge_keys: GDPR / right-to-be-forgotten hard delete, per write mode.
+
+The reference's sink is append-only with no deletion story at all
+(KafkaBatchSink provenance in lake.py); a transcripts table at 10^10
+events needs an engine-owned purge that actually removes the bytes, not
+a tombstone that hides them. Properties pinned here:
+
+- the purge snapshot's DATA FILES contain none of the purged key's text
+  (checked by scanning the raw parquet bytes, not the resolved view);
+- tombstones of other keys survive (they still fence resurrection);
+- delivered intervals / watermarks are unchanged — future CDC events
+  for a purged conversation legitimately re-insert it;
+- bucketed mode rewrites ONLY the touched buckets (untouched manifest
+  entries carry the SAME path strings by reference);
+- purge_history=True leaves no retained file anywhere under the table
+  with the purged text;
+- changes_between across the purge emits delete rows, so maintained
+  views advance consistently.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_plugins_spark.lake import ParquetSnapshotTable
+from kafka_plugins_spark.operators.resolve import last_writer_wins
+from tests.test_lake import _batch
+
+
+def _table(spark, path, mode=None, **kw):
+    table = ParquetSnapshotTable(spark, path, mode=mode, **kw)
+    table.merge_into(
+        last_writer_wins(
+            _batch(
+                spark,
+                [("keepme", "user", "keep-text", "I", 0),
+                 ("purgeme", "user", "SECRET-ALPHA", "I", 1),
+                 ("gone", "user", "dead-text", "I", 2)],
+            )
+        ),
+        batch_id=0,
+    )
+    table.merge_into(
+        last_writer_wins(
+            _batch(
+                spark,
+                [("purgeme", "user", "SECRET-BETA", "U", 10),
+                 ("gone", None, None, "D", 11)],
+            )
+        ),
+        batch_id=1,
+    )
+    return table
+
+
+def _parquet_bytes(paths: list[str]) -> bytes:
+    out = b""
+    for p in paths:
+        for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True):
+            with open(f, "rb") as fh:
+                out += fh.read()
+    return out
+
+
+@pytest.mark.parametrize("mode,kw", [(None, {}), ("mor", {}), ("bucketed", {"n_buckets": 8})])
+def test_purge_removes_bytes_keeps_other_tombstones_and_fence(spark, tmp_path, mode, kw):
+    table = _table(spark, str(tmp_path / "t"), mode=mode, **kw)
+    wm_before = table.watermarks()
+    delivered_before = table.delivered_ranges()
+
+    res = table.purge_keys(["purgeme"])
+    assert not res["skipped"] and res["rows_purged"] >= 1
+
+    # resolved view: purged key gone, others untouched
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"keepme": "keep-text"}
+    # the purge snapshot's data files contain none of the purged text
+    blob = _parquet_bytes(table._snapshot_paths(table.current_snapshot()))
+    assert b"SECRET-ALPHA" not in blob and b"SECRET-BETA" not in blob
+    assert b"keep-text" in blob
+    # the OTHER key's tombstone survives (still fences resurrection)
+    full = table._read_full().filter(F.col("conv_id") == "gone").collect()
+    assert len(full) == 1 and full[0]["_op"] == "D"
+    # fence untouched: a purge consumes no offsets
+    assert table.watermarks() == wm_before
+    assert table.delivered_ranges() == delivered_before
+
+    # future CDC events re-insert the purged conversation (log = truth)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("purgeme", "user", "fresh", "I", 20)])),
+        batch_id=2,
+    )
+    got = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert got == {"keepme": "keep-text", "purgeme": "fresh"}
+
+
+def test_purge_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=16)
+    table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"c{i}", "user", f"t{i}", "I", i) for i in range(64)])
+        ),
+        batch_id=0,
+    )
+    before = dict(table.current_snapshot()["bucket_paths"])
+    res = table.purge_keys(["c0"])
+    assert not res["skipped"] and res["rows_purged"] == 1
+    assert res["buckets_rewritten"] == 1
+    after = dict(table.current_snapshot()["bucket_paths"])
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # every other bucket carried by reference
+    untouched = [b for b in before if b not in changed]
+    assert all(after[b] == before[b] for b in untouched)
+    assert table.read().count() == 63
+
+
+def test_purge_history_leaves_no_trace_under_table(spark, tmp_path):
+    table = _table(spark, str(tmp_path / "t"))
+    res = table.purge_keys(["purgeme"], purge_history=True)
+    assert not res["skipped"] and res["expired"]["snapshots_removed"] >= 1
+    # nothing retained ANYWHERE under the table dir carries the text
+    blob = _parquet_bytes([str(tmp_path / "t")])
+    assert b"SECRET-ALPHA" not in blob and b"SECRET-BETA" not in blob
+    assert b"keep-text" in blob
+    assert len(table._snapshot_files()) == 1
+    # and the snapshot records counts, never the identifiers
+    snap = table.current_snapshot()
+    assert snap["purge"] == {"n_keys": 1, "rows_purged": 1}
+    assert "purgeme" not in open(
+        os.path.join(str(tmp_path / "t"), "_snapshots", f"{snap['snapshot_id']:06d}.json")
+    ).read()
+
+
+def test_purge_noop_and_changelog_feeds_maintained_view(spark, tmp_path):
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+
+    table = _table(spark, str(tmp_path / "t"))
+    head = table.current_snapshot()["snapshot_id"]
+    # unknown key: no new snapshot
+    assert table.purge_keys(["nope"])["skipped"]
+    assert table.current_snapshot()["snapshot_id"] == head
+
+    mv = MaintainedCountSum(table, str(tmp_path / "mv"), ["role"], sum_cols=["turn_idx"])
+    mv.advance()
+    pre = table.current_snapshot()["snapshot_id"]
+    res = table.purge_keys(["purgeme"])
+    # the purge commit is a delete in the changelog...
+    chg = table.changes_between(pre, res["snapshot_id"])
+    kinds = {(r["conv_id"], r["_change_type"]) for r in chg.collect()}
+    assert kinds == {("purgeme", "delete")}
+    # ...so the maintained view advances to the post-purge truth
+    mv.advance()
+    got = {r["role"]: r["cnt"] for r in mv.read().collect()}
+    want = {
+        r["role"]: r["cnt"]
+        for r in table.read().groupBy("role").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
