@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--cores", type=int, default=None)
     cp.add_argument("--expire-keep", type=int, default=None,
                     help="after compacting, expire history keeping the last N snapshots")
+    cp.add_argument("--orphans-older-than", type=float, default=None, metavar="SEC",
+                    help="also reclaim data dirs referenced by no snapshot and "
+                         "stale commit temps, untouched for SEC seconds "
+                         "(history-preserving; Iceberg remove_orphan_files)")
 
     pg = sub.add_parser(
         "purge",
@@ -211,12 +215,18 @@ def main(argv: list[str] | None = None) -> int:
             if args.expire_keep is not None
             else None
         )
+        orphans = (
+            table.remove_orphan_files(older_than_sec=args.orphans_older_than)
+            if args.orphans_older_than is not None
+            else None
+        )
         print(
             json.dumps(
                 {
                     "skipped": res.skipped,
                     "snapshot_id": res.snapshot_id,
                     "expired": expired,
+                    "orphans": orphans,
                     "wall_sec": round(time.monotonic() - t0, 2),
                 }
             )

@@ -139,6 +139,9 @@ def ops_report(
     out: dict = {
         "table": table.path,
         "snapshot_id": None if snap is None else snap["snapshot_id"],
+        # head-commit wall clock — "when did this table last advance",
+        # the first freshness question an on-call asks
+        "committed_at_ms": None if snap is None else snap.get("committed_at_ms"),
         "batch_id": None if snap is None else snap.get("batch_id"),
         "write_mode": table._write_mode(),
         "n_buckets": None if snap is None else snap.get("n_buckets"),

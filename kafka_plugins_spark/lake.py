@@ -471,13 +471,41 @@ class ParquetSnapshotTable:
         with open(f) as fh:
             return json.load(fh)
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def snapshot_as_of_timestamp(self, ts_ms: int) -> dict:
+        """Newest snapshot committed at or before ``ts_ms`` (epoch ms) —
+        the ``TIMESTAMP AS OF`` resolution rule. Snapshots written before
+        ``committed_at_ms`` existed are treated as infinitely old (they
+        match any timestamp a newer snapshot doesn't beat). Raises if
+        every retained snapshot is newer than ``ts_ms`` (the history
+        below it was expired or never existed)."""
+        best = None
+        for snap in self.snapshots():
+            if int(snap.get("committed_at_ms", 0)) <= int(ts_ms):
+                best = snap  # snapshots() is id-ordered; keep the newest
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before timestamp {ts_ms} ms "
+                "(expired, or the table is younger)"
+            )
+        return best
+
+    def read(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> DataFrame:
         """Visible table: tombstones filtered, system columns hidden.
         ``snapshot_id`` time-travels to an earlier (unexpired) snapshot —
-        same contract as Iceberg's ``VERSION AS OF``."""
-        snap = (
-            self.current_snapshot() if snapshot_id is None else self.snapshot_by_id(snapshot_id)
-        )
+        same contract as Iceberg's ``VERSION AS OF``; ``as_of_ms`` is the
+        ``TIMESTAMP AS OF`` spelling (mutually exclusive)."""
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id or as_of_ms, not both")
+        if as_of_ms is not None:
+            snap = self.snapshot_as_of_timestamp(as_of_ms)
+        else:
+            snap = (
+                self.current_snapshot()
+                if snapshot_id is None
+                else self.snapshot_by_id(snapshot_id)
+            )
         if not self._snapshot_paths(snap):
             return self.spark.createDataFrame([], self.base_schema)
         payload = [f.name for f in self._schema_of(snap).fields]
@@ -1696,6 +1724,64 @@ class ParquetSnapshotTable:
             os.remove(os.path.join(d, f))
         return {"snapshots_removed": len(drop), "data_dirs_removed": removed_dirs}
 
+    def remove_orphan_files(self, older_than_sec: float = 3600.0) -> dict:
+        """Reclaim data dirs referenced by NO snapshot — retained or
+        staged — and stale ``.tmp-*.json`` commit temps, WITHOUT touching
+        history (the Iceberg ``remove_orphan_files`` analogue;
+        :meth:`expire_snapshots` is the one that drops time travel).
+        Orphans appear when a writer crashes between its data write and
+        its snapshot commit (the write-then-commit order every merge
+        uses), or between the commit temp and ``os.link``.
+
+        ``older_than_sec`` is the race guard, exactly Iceberg's
+        ``older_than``: a CONCURRENT writer's data dir exists before its
+        snapshot does, so only dirs untouched for the threshold are
+        candidates — at the default 1 h, a live commit would have to
+        stall its write for an hour to be misjudged. Pass 0 only in
+        tests or when the single-writer contract is externally enforced.
+        """
+        now = time.time()
+        live: set[str] = set()
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        refs = self._snapshot_files() + (
+            [
+                f
+                for f in os.listdir(d)
+                if f.startswith("staged-") and f.endswith(".json")
+            ]
+            if os.path.isdir(d)
+            else []
+        )
+        for f in refs:
+            with open(os.path.join(d, f)) as fh:
+                for p in self._snapshot_paths(json.load(fh)):
+                    q = os.path.normpath(p)
+                    base = os.path.basename(q)
+                    live.add(
+                        os.path.basename(os.path.dirname(q))
+                        if base.startswith("_bucket=")
+                        else base
+                    )
+        removed_dirs, removed_tmps = 0, 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, name)
+                if name not in live and now - os.path.getmtime(full) >= older_than_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                full = os.path.join(d, name)
+                if (
+                    name.startswith(".tmp-")
+                    and name.endswith(".json")
+                    and now - os.path.getmtime(full) >= older_than_sec
+                ):
+                    os.unlink(full)
+                    removed_tmps += 1
+        return {"data_dirs_removed": removed_dirs, "tmp_files_removed": removed_tmps}
+
     def _commit(self, snap_id: int, snapshot: dict) -> None:
         """Atomic + exclusive publish: temp file (fsynced) then
         ``os.link`` into place. link(2) fails with EEXIST if the snapshot
@@ -1721,6 +1807,10 @@ class ParquetSnapshotTable:
         else:
             final = os.path.join(d, f"{snap_id:06d}.json")
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        # wall-clock commit instant (epoch ms) — what TIMESTAMP AS OF
+        # resolves against. Informational, never used for ordering
+        # (snapshot ids order commits; clock skew cannot reorder history).
+        snapshot = {**snapshot, "committed_at_ms": int(time.time() * 1000)}
         with open(tmp, "w") as fh:
             json.dump(snapshot, fh, indent=2)
             fh.flush()

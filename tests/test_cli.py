@@ -18,9 +18,11 @@ def test_cli_replay_mor_compact_roundtrip(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["applied"] > 1 and out["rows_applied"] > 0 and out["watermarks"]
 
-    assert main(["compact", "--table", tbl]) == 0
+    assert main(["compact", "--table", tbl, "--orphans-older-than", "0"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["skipped"] is False and out["snapshot_id"] is not None
+    # every data dir is still referenced by some retained snapshot
+    assert out["orphans"] == {"data_dirs_removed": 0, "tmp_files_removed": 0}
 
     # replay again: fully fenced no-op, table unchanged
     assert main(["replay", "--events", ev, "--table", tbl,
@@ -95,6 +97,7 @@ def test_cli_report_golden_on_gapped_backfill(spark, tmp_path, capsys):
         "--mv", mv_dir,
     ]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(rep.pop("committed_at_ms"), int)  # wall clock, not golden
     assert rep == {
         "table": tbl,
         "snapshot_id": 1,

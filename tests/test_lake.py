@@ -376,3 +376,71 @@ def test_changelog_schema_evolution_is_update(spark, tmp_path, mode):
     assert set(rows) == {"update_before", "update_after"}
     assert rows["update_before"]["tool"] is None
     assert rows["update_after"]["tool"] == "calc"
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: read(as_of_ms=...) resolves to the newest
+    snapshot committed at or before the instant; ids still order
+    history (committed_at_ms is informational)."""
+    import time as _time
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    table.merge_into(last_writer_wins(_batch(spark, [("a", "user", "v1", "I", 0)])), batch_id=0)
+    t1 = table.current_snapshot()["committed_at_ms"]
+    _time.sleep(0.05)
+    table.merge_into(last_writer_wins(_batch(spark, [("a", "user", "v2", "U", 1)])), batch_id=1)
+    t2 = table.current_snapshot()["committed_at_ms"]
+    assert t2 >= t1
+
+    assert table.read(as_of_ms=t1).collect()[0]["text"] == "v1"
+    assert table.read(as_of_ms=t2).collect()[0]["text"] == "v2"
+    assert table.read(as_of_ms=t2 + 10_000).collect()[0]["text"] == "v2"
+    with pytest.raises(ValueError, match="at or before"):
+        table.read(as_of_ms=t1 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        table.read(snapshot_id=0, as_of_ms=t1)
+
+
+def test_remove_orphan_files_keeps_history_and_inflight(spark, tmp_path):
+    """Orphan GC: dirs referenced by NO snapshot (crash between data
+    write and snapshot commit) and stale commit temps go; every
+    HISTORICAL and STAGED dir stays; dirs younger than older_than_sec
+    survive (the concurrent-writer race guard)."""
+    import os
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    path = str(tmp_path / "t")
+    table = ParquetSnapshotTable(spark, path)
+    table.merge_into(last_writer_wins(_batch(spark, [("a", "user", "v1", "I", 0)])), batch_id=0)
+    table.merge_into(last_writer_wins(_batch(spark, [("a", "user", "v2", "U", 1)])), batch_id=1)
+    staged = table.stage_merge(
+        last_writer_wins(_batch(spark, [("b", "user", "s", "I", 2)])),
+        batch_id=2, ranges={0: (2, 3)},
+    )
+    # simulate a crashed writer: an unreferenced data dir + a commit temp
+    orphan = os.path.join(path, "data", "snap-999999")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").write(b"x")
+    tmp_json = os.path.join(path, "_snapshots", ".tmp-deadbeef.json")
+    open(tmp_json, "w").write("{}")
+
+    # young orphans survive the race guard...
+    res = table.remove_orphan_files(older_than_sec=3600)
+    assert res == {"data_dirs_removed": 0, "tmp_files_removed": 0}
+    assert os.path.isdir(orphan)
+    # ...and age out
+    res = table.remove_orphan_files(older_than_sec=0)
+    assert res == {"data_dirs_removed": 1, "tmp_files_removed": 1}
+    assert not os.path.isdir(orphan) and not os.path.exists(tmp_json)
+
+    # history AND the staged commit still read back intact
+    assert table.read(snapshot_id=0).collect()[0]["text"] == "v1"
+    assert table.read().collect()[0]["text"] == "v2"
+    assert {r["conv_id"] for r in table.read_staged(staged).collect()} == {"a", "b"}
+    table.publish_staged(staged)
+    assert {r["conv_id"] for r in table.read().collect()} == {"a", "b"}
