@@ -184,6 +184,44 @@ SYSTEM_FIELDS = [
 ]
 
 
+#: facts that describe ONE commit and must not be inherited when a
+#: maintenance commit (compact / rollback / purge) derives its snapshot
+#: from an earlier one — an auditor reading snapshot files would
+#: otherwise see a compaction claiming the previous merge's batch_id or
+#: a phantom re-purge. Layout, delivered, watermarks, schema, n_buckets
+#: all carry.
+_PER_COMMIT_KEYS = (
+    "batch_id",
+    "lineage",
+    "rows_applied",
+    "wall_ms",
+    "purge",
+    "compaction",
+    "rollback_of",
+    "committed_at_ms",
+)
+
+
+def _carry_snapshot(snap: dict) -> dict:
+    """Base a derived (maintenance) snapshot on ``snap`` without the
+    per-commit facts of the commit it derives from."""
+    return {k: v for k, v in snap.items() if k not in _PER_COMMIT_KEYS}
+
+
+def _observe_purged(src: DataFrame, ids: list[str]) -> tuple[DataFrame, "Observation"]:
+    """Filter the purged keys out of ``src`` with an Observation counting
+    the dropped rows map-side, so the purge's write action is the ONLY
+    scan (a separate count() would read every source file twice)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    flag = F.col("conv_id").isin(ids)
+    observed = src.observe(
+        obs, F.sum(F.when(flag, 1).otherwise(0)).alias("rows_purged")
+    )
+    return observed.filter(~flag), obs
+
+
 def _with_system_columns(payload: T.StructType) -> T.StructType:
     return T.StructType(list(payload.fields) + SYSTEM_FIELDS)
 
@@ -1456,7 +1494,7 @@ class ParquetSnapshotTable:
             raise ValueError("compact(buckets=...) requires a bucketed table")
         snap_id = snap["snapshot_id"] + 1
         data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
-        new_snap = dict(snap)
+        new_snap = _carry_snapshot(snap)
         if "bucket_paths" in snap:
             # bucketed compaction keeps the layout: rewrite the chosen
             # buckets (default all) without tombstones; untouched entries
@@ -1554,7 +1592,16 @@ class ParquetSnapshotTable:
 
         ``changes_between`` across the purge commit emits ``delete``
         rows for the purged keys, so maintained views advance
-        consistently (tests pin this).
+        consistently (tests pin this). With ``purge_history=True`` the
+        expiry removes the snapshots a lagging view's delta path needs:
+        advance maintained views BEFORE a history purge, or call their
+        ``rebuild()`` after (``advance`` raises loudly on an expired
+        reflected snapshot — same contract as any ``expire_snapshots``).
+
+        A pending write-audit-publish stage makes the purge REFUSE: the
+        staged data dir may retain the keys' bytes (GC rightly treats it
+        as live) and the purge commit would make the stage
+        stale-unpublishable anyway — publish or abort stages first.
 
         Iceberg spelling: ``DELETE FROM t WHERE conv_id IN (...)`` with
         ``write.delete.mode=copy-on-write`` + ``expire_snapshots``;
@@ -1565,10 +1612,25 @@ class ParquetSnapshotTable:
         snap = self.current_snapshot()
         if snap is None or not conv_ids:
             return {"skipped": True, "rows_purged": 0}
+        staged = self._staged_snapshot_files()
+        if staged:
+            # A pending stage's data dir may hold the purged keys' bytes,
+            # and every GC path rightly treats staged dirs as live — so a
+            # purge would silently leave the text on disk. The stage is
+            # also already doomed: the purge commit moves the head, so
+            # publish_staged would refuse it as stale. Make the operator
+            # resolve the stage first instead of shipping a false
+            # "forgotten" confirmation.
+            raise RuntimeError(
+                "purge_keys refuses while write-audit-publish stages are "
+                f"pending ({staged}): their data dirs may retain the purged "
+                "keys' bytes and the purge commit would make them stale "
+                "anyway; publish_staged() or abort_staged() them first"
+            )
         ids = sorted(set(conv_ids))
         snap_id = snap["snapshot_id"] + 1
         data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
-        new_snap = dict(snap)
+        new_snap = _carry_snapshot(snap)
         stored = _with_system_columns(self._schema_of(snap))
         buckets_rewritten = None
         if "bucket_paths" in snap:
@@ -1591,10 +1653,10 @@ class ParquetSnapshotTable:
             src = self.spark.read.schema(stored).parquet(
                 *[manifest[str(b)] for b in todo]
             )
-            rows_purged = src.filter(F.col("conv_id").isin(ids)).count()
-            if rows_purged == 0:
-                return {"skipped": True, "rows_purged": 0}
-            kept = src.filter(~F.col("conv_id").isin(ids))
+            # ONE scan: the write action carries an Observation that
+            # counts the dropped rows map-side (a separate count() would
+            # read every touched bucket twice)
+            kept, obs = _observe_purged(src, ids)
             bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
             (
                 kept.withColumn("_bucket", bucket_of)
@@ -1604,6 +1666,10 @@ class ParquetSnapshotTable:
                 .partitionBy("_bucket")
                 .parquet(data_path)
             )
+            rows_purged = int(obs.get["rows_purged"] or 0)
+            if rows_purged == 0:
+                shutil.rmtree(data_path, ignore_errors=True)
+                return {"skipped": True, "rows_purged": 0}
             for b in todo:
                 bdir = os.path.join(data_path, f"_bucket={b}")
                 if os.path.isdir(bdir):
@@ -1613,12 +1679,12 @@ class ParquetSnapshotTable:
             new_snap["bucket_paths"] = manifest
             buckets_rewritten = len(todo)
         else:
-            full = self._read_full()
-            rows_purged = full.filter(F.col("conv_id").isin(ids)).count()
-            if rows_purged == 0:
-                return {"skipped": True, "rows_purged": 0}
-            kept = full.filter(~F.col("conv_id").isin(ids))
+            kept, obs = _observe_purged(self._read_full(), ids)
             kept.write.mode("overwrite").parquet(data_path)
+            rows_purged = int(obs.get["rows_purged"] or 0)
+            if rows_purged == 0:
+                shutil.rmtree(data_path, ignore_errors=True)
+                return {"skipped": True, "rows_purged": 0}
             if "data_paths" in new_snap:
                 new_snap["data_paths"] = [data_path]
                 new_snap.pop("data_path", None)
@@ -1662,7 +1728,7 @@ class ParquetSnapshotTable:
         if cur is None:
             raise ValueError("cannot rollback an empty table (no current snapshot)")
         new_id = cur["snapshot_id"] + 1
-        new_snap = dict(target)
+        new_snap = _carry_snapshot(target)
         new_snap.update(snapshot_id=new_id, rollback_of=snapshot_id, lineage=[],
                         rows_applied=0, wall_ms=0)
         self._commit(new_id, new_snap)
@@ -1681,48 +1747,81 @@ class ParquetSnapshotTable:
             raise ValueError("keep_last must be >= 1")
         files = self._snapshot_files()
         drop, keep = files[:-keep_last], files[-keep_last:]
-        # Liveness by data-dir BASENAME, not stored path string: snapshots
-        # record the path spelling used at write time, so a handle opened
-        # later with a different spelling ('./tbl' vs abspath) would see
-        # zero matches on full-path comparison and delete every live dir.
-        # All data dirs live under <table>/data/, so basenames are unique.
+        live = self._live_data_keys(keep + self._staged_snapshot_files())
+        removed_dirs = self._gc_dead_data(live, min_age_sec=0.0)
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        for f in drop:
+            os.remove(os.path.join(d, f))
+        return {"snapshots_removed": len(drop), "data_dirs_removed": removed_dirs}
+
+    def _staged_snapshot_files(self) -> list[str]:
+        """In-flight write-audit-publish stages: invisible to readers
+        (:meth:`_snapshot_files` is digit-named only) but their data dirs
+        are NOT garbage — a later ``publish_staged`` exposes them, so
+        every GC path must treat them as live."""
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f for f in os.listdir(d) if f.startswith("staged-") and f.endswith(".json")
+        )
+
+    def _live_data_keys(self, snap_files: list[str]) -> set[str]:
+        """Liveness keys RELATIVE to ``<table>/data/``: ``snap-000001``
+        when a snapshot references the whole dir (CoW/MoR paths), or
+        ``snap-000001/_bucket=3`` when a bucketed manifest references
+        that bucket individually — bucket-level granularity lets GC
+        reclaim a superseded bucket's files (which may hold purged
+        text) while live sibling buckets keep their dir. Keys are
+        basenames, not stored path strings: snapshots record the
+        spelling used at write time, so a handle opened with a
+        different spelling ('./tbl' vs abspath) would see zero matches
+        on full-path comparison and delete every live dir."""
         live: set[str] = set()
         d = os.path.join(self.path, SNAPSHOT_DIR)
-        # In-flight write-audit-publish stages are invisible to readers
-        # (_snapshot_files is digit-named only) but their data dirs are
-        # NOT garbage: a later publish_staged exposes them, so expiring
-        # while an audit is running must keep them or the published
-        # snapshot would reference deleted files.
-        staged = [
-            f
-            for f in os.listdir(d)
-            if f.startswith("staged-") and f.endswith(".json")
-        ]
-        for f in keep + staged:
+        for f in snap_files:
             with open(os.path.join(d, f)) as fh:
                 for p in self._snapshot_paths(json.load(fh)):
                     q = os.path.normpath(p)
                     base = os.path.basename(q)
-                    # a bucketed manifest references data/snap-N/_bucket=B;
-                    # liveness is tracked at the top-level snap dir, so one
-                    # live bucket keeps its whole snap dir (sibling buckets
-                    # superseded later are dead weight until their snap dir
-                    # ages out entirely — correctness over eagerness).
-                    live.add(
-                        os.path.basename(os.path.dirname(q))
-                        if base.startswith("_bucket=")
-                        else base
-                    )
-        removed_dirs = 0
+                    if base.startswith("_bucket="):
+                        live.add(f"{os.path.basename(os.path.dirname(q))}/{base}")
+                    else:
+                        live.add(base)
+        return live
+
+    def _gc_dead_data(self, live: set[str], min_age_sec: float) -> int:
+        """Remove data dirs (or, inside a partially-live bucketed snap
+        dir, individual ``_bucket=`` children) not named in ``live`` and
+        untouched for ``min_age_sec``. Returns dirs removed (bucket
+        children count individually)."""
+        removed = 0
+        now = time.time()
         data_root = os.path.join(self.path, "data")
-        if os.path.isdir(data_root):
-            for name in sorted(os.listdir(data_root)):
-                if name not in live:
-                    shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
-                    removed_dirs += 1
-        for f in drop:
-            os.remove(os.path.join(d, f))
-        return {"snapshots_removed": len(drop), "data_dirs_removed": removed_dirs}
+        if not os.path.isdir(data_root):
+            return 0
+        for name in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, name)
+            if name in live:
+                continue
+            prefix = name + "/"
+            if any(k.startswith(prefix) for k in live):
+                # some buckets of this snap dir are still referenced —
+                # reclaim only the dead bucket children
+                for child in sorted(os.listdir(full)):
+                    cfull = os.path.join(full, child)
+                    if (
+                        child.startswith("_bucket=")
+                        and f"{name}/{child}" not in live
+                        and now - os.path.getmtime(cfull) >= min_age_sec
+                    ):
+                        shutil.rmtree(cfull, ignore_errors=True)
+                        removed += 1
+                continue
+            if now - os.path.getmtime(full) >= min_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed
 
     def remove_orphan_files(self, older_than_sec: float = 3600.0) -> dict:
         """Reclaim data dirs referenced by NO snapshot — retained or
@@ -1741,35 +1840,12 @@ class ParquetSnapshotTable:
         tests or when the single-writer contract is externally enforced.
         """
         now = time.time()
-        live: set[str] = set()
-        d = os.path.join(self.path, SNAPSHOT_DIR)
-        refs = self._snapshot_files() + (
-            [
-                f
-                for f in os.listdir(d)
-                if f.startswith("staged-") and f.endswith(".json")
-            ]
-            if os.path.isdir(d)
-            else []
+        live = self._live_data_keys(
+            self._snapshot_files() + self._staged_snapshot_files()
         )
-        for f in refs:
-            with open(os.path.join(d, f)) as fh:
-                for p in self._snapshot_paths(json.load(fh)):
-                    q = os.path.normpath(p)
-                    base = os.path.basename(q)
-                    live.add(
-                        os.path.basename(os.path.dirname(q))
-                        if base.startswith("_bucket=")
-                        else base
-                    )
-        removed_dirs, removed_tmps = 0, 0
-        data_root = os.path.join(self.path, "data")
-        if os.path.isdir(data_root):
-            for name in sorted(os.listdir(data_root)):
-                full = os.path.join(data_root, name)
-                if name not in live and now - os.path.getmtime(full) >= older_than_sec:
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed_dirs += 1
+        removed_dirs = self._gc_dead_data(live, min_age_sec=older_than_sec)
+        removed_tmps = 0
+        d = os.path.join(self.path, SNAPSHOT_DIR)
         if os.path.isdir(d):
             for name in os.listdir(d):
                 full = os.path.join(d, name)

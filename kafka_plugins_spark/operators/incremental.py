@@ -260,6 +260,25 @@ class _MaintainedState:
         states = self._states()
         return states[-1] if states else None
 
+    def _from_scratch(self, target: int) -> DataFrame:
+        raise NotImplementedError  # each view defines its full recompute
+
+    def rebuild(self, keep_last: int = 2) -> dict:
+        """Recompute the aggregate from the CURRENT table snapshot and
+        publish it, bypassing the delta path — the documented recovery
+        when the reflected snapshot was expired under the view
+        (``expire_snapshots`` / ``purge_keys(purge_history=True)``):
+        ``advance`` needs ``changes_between(as_of, target)`` and the
+        expired ``as_of`` can no longer be read. O(table) — a cost to
+        incur knowingly, never silently (which is why ``advance`` raises
+        instead of falling back here on its own)."""
+        snap = self.table.current_snapshot()
+        if snap is None:
+            return {"as_of": None, "delta_applied": False, "bootstrapped": False}
+        target = int(snap["snapshot_id"])
+        self._publish(self._from_scratch(target), target, keep_last)
+        return {"as_of": target, "delta_applied": False, "bootstrapped": True}
+
     def read(self) -> DataFrame:
         """The maintained aggregate (error if never advanced)."""
         asof = self.as_of()
@@ -330,6 +349,11 @@ class MaintainedCountSum(_MaintainedState):
         self.sum_cols = list(sum_cols)
         self.prepare = prepare or (lambda df: df)
 
+    def _from_scratch(self, target: int) -> DataFrame:
+        return count_sum_aggregate(
+            self.prepare(self.table.read(target)), self.group_cols, self.sum_cols
+        )
+
     # --- the refresh -------------------------------------------------------
     def advance(self, keep_last: int = 2) -> dict:
         """Fold table commits since the last reflected snapshot into the
@@ -343,9 +367,7 @@ class MaintainedCountSum(_MaintainedState):
         if asof == target:
             return {"as_of": target, "delta_applied": False, "bootstrapped": False}
         if asof is None:
-            new = count_sum_aggregate(
-                self.prepare(self.table.read(target)), self.group_cols, self.sum_cols
-            )
+            new = self._from_scratch(target)
             bootstrapped, delta_applied = True, False
         else:
             delta = self.prepare(self.table.changes_between(asof, target))
@@ -400,6 +422,9 @@ class MaintainedGroupAgg(_MaintainedState):
         self.agg_fn = agg_fn
         self.prepare = prepare or (lambda df: df)
 
+    def _from_scratch(self, target: int) -> DataFrame:
+        return self.agg_fn(self.prepare(self.table.read(target)))
+
     def advance(self, keep_last: int = 2) -> dict:
         """Refresh the stored aggregate to the table's current snapshot:
         bootstrap on first call, touched-groups-only recompute after.
@@ -413,7 +438,7 @@ class MaintainedGroupAgg(_MaintainedState):
         if asof == target:
             return {"as_of": target, "delta_applied": False, "bootstrapped": False}
         if asof is None:
-            new = self.agg_fn(self.prepare(self.table.read(target)))
+            new = self._from_scratch(target)
             bootstrapped, delta_applied = True, False
         else:
             changes = self.prepare(self.table.changes_between(asof, target))

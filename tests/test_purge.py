@@ -118,8 +118,13 @@ def test_purge_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     assert table.read().count() == 63
 
 
-def test_purge_history_leaves_no_trace_under_table(spark, tmp_path):
-    table = _table(spark, str(tmp_path / "t"))
+@pytest.mark.parametrize("mode,kw", [(None, {}), ("mor", {}), ("bucketed", {"n_buckets": 8})])
+def test_purge_history_leaves_no_trace_under_table(spark, tmp_path, mode, kw):
+    """Byte-level forgetting must hold for EVERY write mode — the
+    bucketed manifest carries untouched buckets of OLD snap dirs by
+    reference, so GC liveness must be bucket-granular or the purged
+    bucket's superseded file would survive expiry (review finding)."""
+    table = _table(spark, str(tmp_path / "t"), mode=mode, **kw)
     res = table.purge_keys(["purgeme"], purge_history=True)
     assert not res["skipped"] and res["expired"]["snapshots_removed"] >= 1
     # nothing retained ANYWHERE under the table dir carries the text
@@ -160,3 +165,95 @@ def test_purge_noop_and_changelog_feeds_maintained_view(spark, tmp_path):
         for r in table.read().groupBy("role").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == want
+
+
+def test_purge_refuses_while_wap_stage_pending(spark, tmp_path):
+    """A pending stage's data dir may retain the purged bytes (GC treats
+    it as live) and the purge commit would make it stale anyway — refuse
+    loudly instead of confirming a purge that left text on disk."""
+    table = _table(spark, str(tmp_path / "t"))
+    staged = table.stage_merge(
+        last_writer_wins(_batch(spark, [("x", "user", "s", "I", 20)])),
+        batch_id=9, ranges={0: (20, 21)},
+    )
+    with pytest.raises(RuntimeError, match="stages are pending"):
+        table.purge_keys(["purgeme"])
+    table.abort_staged(staged)
+    assert not table.purge_keys(["purgeme"])["skipped"]
+
+
+def test_maintenance_snapshots_do_not_inherit_per_commit_facts(spark, tmp_path):
+    """A purge snapshot must not claim the previous merge's batch_id,
+    and a later compact/rollback must not republish the purge marker —
+    each snapshot describes its OWN commit (review finding)."""
+    table = _table(spark, str(tmp_path / "t"))  # last merge: batch_id=1
+    table.purge_keys(["purgeme"])
+    snap = table.current_snapshot()
+    assert "purge" in snap and "batch_id" not in snap
+    table.compact()
+    snap = table.current_snapshot()
+    assert "purge" not in snap and snap.get("compaction") is True
+    table.rollback_to(snap["snapshot_id"] - 1)
+    snap = table.current_snapshot()
+    assert "compaction" not in snap and "purge" not in snap
+    assert snap.get("rollback_of") == table.current_snapshot()["snapshot_id"] - 2
+
+
+def test_mv_rebuild_recovers_after_history_purge(spark, tmp_path):
+    """purge_history expires the snapshots a lagging view's delta path
+    needs: advance() raises loudly (never a silent full rescan), and
+    rebuild() is the explicit O(table) recovery."""
+    from kafka_plugins_spark.operators.incremental import MaintainedCountSum
+
+    table = _table(spark, str(tmp_path / "t"))
+    mv = MaintainedCountSum(table, str(tmp_path / "mv"), ["role"], sum_cols=["turn_idx"])
+    mv.advance()
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("late", "user", "z", "I", 30)])),
+        batch_id=2,
+    )
+    table.purge_keys(["purgeme"], purge_history=True)
+    with pytest.raises(ValueError, match="no snapshot"):
+        mv.advance()
+    res = mv.rebuild()
+    assert res["bootstrapped"] and res["as_of"] == table.current_snapshot()["snapshot_id"]
+    got = {r["role"]: r["cnt"] for r in mv.read().collect()}
+    want = {
+        r["role"]: r["cnt"]
+        for r in table.read().groupBy("role").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+    # and the view delta-advances normally from here
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("post", "user", "w", "I", 40)])),
+        batch_id=3,
+    )
+    assert mv.advance()["delta_applied"]
+
+
+def test_expire_reclaims_dead_buckets_of_partially_live_snap_dirs(spark, tmp_path):
+    """Bucket-granular GC: after a second commit rewrites bucket B, the
+    OLD snap dir's _bucket=B is dead (the head manifest references the
+    new one) while sibling buckets are still carried by reference —
+    expiry must remove exactly the dead bucket and keep the rest."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    table.merge_into(
+        last_writer_wins(_batch(spark, [(f"c{i}", "user", f"t{i}", "I", i) for i in range(32)])),
+        batch_id=0,
+    )
+    snap1_buckets = dict(table.current_snapshot()["bucket_paths"])
+    table.merge_into(
+        last_writer_wins(_batch(spark, [("c0", "user", "t0b", "U", 100)])),
+        batch_id=1,
+    )
+    snap2_buckets = dict(table.current_snapshot()["bucket_paths"])
+    rewritten = [b for b in snap1_buckets if snap2_buckets.get(b) != snap1_buckets[b]]
+    assert len(rewritten) == 1
+    res = table.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == 1
+    # exactly the superseded bucket file is gone; carried ones remain
+    assert not os.path.isdir(snap1_buckets[rewritten[0]])
+    for b, p in snap1_buckets.items():
+        if b != rewritten[0]:
+            assert os.path.isdir(p), f"live carried bucket {b} was deleted"
+    assert {r["conv_id"]: r["text"] for r in table.read().collect()}["c0"] == "t0b"
