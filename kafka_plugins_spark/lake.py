@@ -2200,6 +2200,36 @@ class IcebergMergeBackend:
             f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
         )
 
+    def build_purge_sql(self, conv_ids: list[str]) -> tuple[str, list[str]]:
+        """The Iceberg spelling of :meth:`ParquetSnapshotTable.purge_keys`
+        (GDPR hard delete): a DELETE statement plus the maintenance calls
+        that make the forgetting byte-real. Returns ``(delete_sql,
+        followup_sqls)``:
+
+        - the DELETE targets every row of the named conversations; under
+          ``write.delete.mode=copy-on-write`` Iceberg rewrites the
+          affected files without the rows (with a ``bucket(n, conv_id)``
+          partition transform — :meth:`recommended_partitioning` — the
+          rewrite touches only the keys' buckets, the same O(touched
+          buckets) shape as the sandbox path);
+        - the follow-ups expire history and remove orphans, because a
+          DELETE alone leaves the pre-delete files reachable via time
+          travel — the ``purge_history=True`` analogue. Run them once
+          maintained views have advanced past (or been rebuilt after)
+          the delete.
+
+        Ids are inlined as escaped SQL literals (compliance requests are
+        human-scale; for huge lists stage a view and anti-join instead).
+        """
+        ids = ", ".join("'" + i.replace("'", "''") + "'" for i in sorted(set(conv_ids)))
+        delete_sql = f"DELETE FROM {self.table} WHERE conv_id IN ({ids})"
+        followups = [
+            f"CALL system.expire_snapshots(table => '{self.table}', "
+            "retain_last => 1)",
+            f"CALL system.remove_orphan_files(table => '{self.table}')",
+        ]
+        return delete_sql, followups
+
     def build_merge_patch_sql(
         self,
         updates_view: str,

@@ -508,3 +508,19 @@ def test_snapshot_diff_changes_across_schema_evolution(spark, tmp_path):
     assert set(rows) == {("k0", "update_before"), ("k0", "update_after")}
     assert rows[("k0", "update_before")]["lang"] is None
     assert rows[("k0", "update_after")]["lang"] == "en"
+
+
+def test_purge_sql_spelling():
+    """The Iceberg spelling of purge_keys: CoW DELETE over the id list
+    plus the maintenance follow-ups that make forgetting byte-real
+    (expire history + remove orphans — a DELETE alone leaves pre-delete
+    files reachable via time travel). Quotes in ids are escaped."""
+    b = IcebergMergeBackend("lake.db.transcripts")
+    delete_sql, followups = b.build_purge_sql(["conv-2", "conv-1", "o'brien"])
+    assert delete_sql == (
+        "DELETE FROM lake.db.transcripts "
+        "WHERE conv_id IN ('conv-1', 'conv-2', 'o''brien')"
+    )
+    assert any("expire_snapshots" in f for f in followups)
+    assert any("remove_orphan_files" in f for f in followups)
+    assert all("lake.db.transcripts" in f for f in followups)

@@ -257,3 +257,19 @@ def test_expire_reclaims_dead_buckets_of_partially_live_snap_dirs(spark, tmp_pat
         if b != rewritten[0]:
             assert os.path.isdir(p), f"live carried bucket {b} was deleted"
     assert {r["conv_id"]: r["text"] for r in table.read().collect()}["c0"] == "t0b"
+
+
+def test_purge_cow_is_single_scan_single_job(spark, tmp_path):
+    """The one-scan contract: a CoW purge schedules exactly ONE Spark
+    job — the rewrite, whose Observation counts the dropped rows
+    map-side (a separate count() would double-read the table; review
+    finding)."""
+    table = _table(spark, str(tmp_path / "t"))
+
+    def njobs():
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+    j0 = njobs()
+    res = table.purge_keys(["purgeme"])
+    assert not res["skipped"] and res["rows_purged"] == 1
+    assert njobs() - j0 == 1, "CoW purge must be one job (write + observation)"
