@@ -273,3 +273,54 @@ def test_purge_cow_is_single_scan_single_job(spark, tmp_path):
     res = table.purge_keys(["purgeme"])
     assert not res["skipped"] and res["rows_purged"] == 1
     assert njobs() - j0 == 1, "CoW purge must be one job (write + observation)"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_gc_interleaving_never_strands_a_retained_snapshot(spark, tmp_path, seed):
+    """GC safety net for bucket-granular liveness: under a random
+    interleaving of merge / compact / purge / expire / orphan-GC, every
+    RETAINED snapshot must stay fully readable (all referenced paths on
+    disk) — the invariant the whole-dir→bucket-level GC change must not
+    break."""
+    import random
+
+    rng = random.Random(seed)
+    table = ParquetSnapshotTable(spark, str(tmp_path / "t"), mode="bucketed", n_buckets=8)
+    offset = 0
+    alive = set()
+
+    def _merge(n_new):
+        nonlocal offset
+        rows = []
+        for _ in range(n_new):
+            cid = f"c{rng.randrange(40)}"
+            alive.add(cid)
+            rows.append((cid, "user", f"txt-{offset}", "I", offset))
+            offset += 1
+        table.merge_into(last_writer_wins(_batch(spark, rows)), batch_id=offset)
+
+    _merge(20)
+    for _ in range(10):
+        op = rng.choice(["merge", "compact", "purge", "expire", "orphans"])
+        if op == "merge":
+            _merge(rng.randrange(1, 8))
+        elif op == "compact":
+            table.compact()
+        elif op == "purge" and alive:
+            victim = rng.choice(sorted(alive))
+            alive.discard(victim)
+            table.purge_keys([victim])
+        elif op == "expire":
+            table.expire_snapshots(keep_last=rng.randrange(1, 3))
+        elif op == "orphans":
+            table.remove_orphan_files(older_than_sec=0)
+        # invariant: every retained snapshot reads back completely
+        for f in table._snapshot_files():
+            sid = int(f[:-5])
+            snap = table.snapshot_by_id(sid)
+            for p in table._snapshot_paths(snap):
+                assert os.path.isdir(p), f"snapshot {sid} references missing {p}"
+            table.read(sid).count()
+    # final state agrees with the surviving key set
+    got = {r["conv_id"] for r in table.read().collect()}
+    assert got == alive
