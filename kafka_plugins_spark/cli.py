@@ -118,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     rr.add_argument("--mv", action="append", default=[],
                     help="maintained-view state dir (repeatable); reports "
                          "as_of + staleness vs the table snapshot")
+    rr.add_argument("--fsck", action="store_true",
+                    help="add integrity findings (missing data paths, broken "
+                         "fence intervals, stale WAP stages) — metadata-only")
 
     args = p.parse_args(argv)
     t0 = time.monotonic()
@@ -270,13 +273,16 @@ def main(argv: list[str] | None = None) -> int:
         def _offsets(s):
             return None if s is None else {int(k): int(v) for k, v in json.loads(s).items()}
 
+        table = ParquetSnapshotTable(spark, args.table)
         rep = ops_report(
-            ParquetSnapshotTable(spark, args.table),
+            table,
             events_path=args.events,
             end_offsets=_offsets(args.end_offsets),
             start_offsets=_offsets(args.start_offsets),
             mv_paths=args.mv or None,
         )
+        if args.fsck:
+            rep["fsck"] = table.fsck()
         print(json.dumps(rep, sort_keys=True))
         return 0
 

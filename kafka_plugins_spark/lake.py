@@ -501,6 +501,86 @@ class ParquetSnapshotTable:
         needs maintenance before reads degrade."""
         return len(self._snapshot_paths(self.current_snapshot()))
 
+    def fsck(self) -> list[dict]:
+        """Integrity check — the lakehouse ``fsck``: walk every retained
+        and staged snapshot and report anything that would break a read
+        or the exactly-once contract, WITHOUT scanning data (driver-side
+        metadata only, safe to poll like :func:`~kafka_plugins_spark.connector.ops_report`).
+        Returns a list of findings (empty = healthy), each
+        ``{"snapshot", "issue", "detail"}``:
+
+        - ``missing_path`` — a referenced data dir is gone (GC bug,
+          manual deletion, or a crash-corrupted manifest); reads of that
+          snapshot will fail;
+        - ``bad_intervals`` — a partition's delivered set is unsorted,
+          overlapping, or empty-width: the fence's invariants are broken
+          and skip/clip decisions are untrustworthy;
+        - ``bad_schema`` — the stored schema JSON no longer parses;
+        - ``stale_stage`` — a staged (WAP) commit was built on a
+          snapshot that is no longer the head: it can never publish,
+          only hold disk and block purges (abort it);
+        - ``non_monotonic_watermark`` — a snapshot's watermark for a
+          partition is below its predecessor's (history rewritten out of
+          band). Rollback commits are exempt: reverting the fence WITH
+          the data is their documented contract.
+        """
+        findings: list[dict] = []
+        prev_wm: dict[int, int] = {}
+        head = self.current_snapshot()
+        head_id = None if head is None else head["snapshot_id"]
+        staged_files = self._staged_snapshot_files()
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        for f in self._snapshot_files() + staged_files:
+            with open(os.path.join(d, f)) as fh:
+                snap = json.load(fh)
+            name = f[:-5]
+            for p in self._snapshot_paths(snap):
+                if not os.path.isdir(p):
+                    findings.append(
+                        {"snapshot": name, "issue": "missing_path", "detail": p}
+                    )
+            try:
+                self._schema_of(snap)
+            except Exception as e:  # noqa: BLE001 — any parse failure is the finding
+                findings.append(
+                    {"snapshot": name, "issue": "bad_schema", "detail": str(e)}
+                )
+            for part, iv in (snap.get("delivered") or {}).items():
+                ok = all(a < b for a, b in iv) and all(
+                    iv[i][1] < iv[i + 1][0] for i in range(len(iv) - 1)
+                )
+                if not ok:
+                    findings.append(
+                        {
+                            "snapshot": name,
+                            "issue": "bad_intervals",
+                            "detail": f"partition {part}: {iv}",
+                        }
+                    )
+            if snap.get("staged"):
+                if snap.get("based_on") != head_id:
+                    findings.append(
+                        {
+                            "snapshot": name,
+                            "issue": "stale_stage",
+                            "detail": f"based_on {snap.get('based_on')} != head {head_id}",
+                        }
+                    )
+            else:
+                wm = {int(k): int(v) for k, v in (snap.get("watermarks") or {}).items()}
+                if "rollback_of" not in snap:
+                    for part, w in wm.items():
+                        if w < prev_wm.get(part, 0):
+                            findings.append(
+                                {
+                                    "snapshot": name,
+                                    "issue": "non_monotonic_watermark",
+                                    "detail": f"partition {part}: {w} < {prev_wm[part]}",
+                                }
+                            )
+                prev_wm = {**prev_wm, **wm}
+        return findings
+
     def snapshot_by_id(self, snapshot_id: int) -> dict:
         d = os.path.join(self.path, SNAPSHOT_DIR)
         f = os.path.join(d, f"{snapshot_id:06d}.json")

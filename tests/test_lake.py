@@ -7,6 +7,8 @@ committed range is a no-op — but here the guarantee is exactly-once, not
 at-least-once, because the cursor commits atomically with the data.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -444,3 +446,70 @@ def test_remove_orphan_files_keeps_history_and_inflight(spark, tmp_path):
     assert {r["conv_id"] for r in table.read_staged(staged).collect()} == {"a", "b"}
     table.publish_staged(staged)
     assert {r["conv_id"] for r in table.read().collect()} == {"a", "b"}
+
+
+def test_fsck_reports_each_corruption_class(spark, tmp_path):
+    """The lakehouse fsck: healthy tables report nothing; a deleted data
+    dir, a hand-corrupted fence, and a stale WAP stage each produce
+    their finding — metadata-only, so it is safe to poll."""
+    import json as _json
+    import shutil as _shutil
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    path = str(tmp_path / "t")
+    table = ParquetSnapshotTable(spark, path)
+    table.merge_into(last_writer_wins(_batch(spark, [("a", "user", "v1", "I", 0)])), batch_id=0)
+    table.merge_into(last_writer_wins(_batch(spark, [("b", "user", "v2", "I", 1)])), batch_id=1)
+    assert table.fsck() == []
+
+    # stale stage: built on snapshot 1, then an interleaved commit lands
+    staged = table.stage_merge(
+        last_writer_wins(_batch(spark, [("c", "user", "s", "I", 2)])),
+        batch_id=2, ranges={0: (2, 3)},
+    )
+    assert table.fsck() == []  # fresh stage is fine
+    table.merge_into(last_writer_wins(_batch(spark, [("d", "user", "v3", "I", 3)])), batch_id=3)
+    issues = {f["issue"] for f in table.fsck()}
+    assert issues == {"stale_stage"}
+    table.abort_staged(staged)
+
+    # missing path: delete snapshot 0's data dir out from under it
+    snap0 = table.snapshot_by_id(0)
+    _shutil.rmtree(table._snapshot_paths(snap0)[0])
+    issues = [f for f in table.fsck() if f["issue"] == "missing_path"]
+    assert len(issues) == 1 and issues[0]["snapshot"] == "000000"
+
+    # bad intervals: hand-corrupt the head's delivered set
+    head = table.current_snapshot()
+    f = os.path.join(path, "_snapshots", f"{head['snapshot_id']:06d}.json")
+    head["delivered"]["0"] = [[5, 2]]
+    open(f, "w").write(_json.dumps(head))
+    issues = {x["issue"] for x in table.fsck()}
+    assert "bad_intervals" in issues
+
+
+def test_fsck_rollback_watermark_exempt(spark, tmp_path):
+    """rollback_to legitimately reverts watermarks WITH the data — fsck
+    must not flag it, but must flag an out-of-band watermark regression
+    on a non-rollback snapshot."""
+    import json as _json
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+
+    path = str(tmp_path / "t")
+    table = ParquetSnapshotTable(spark, path)
+    table.merge_into(last_writer_wins(_batch(spark, [("a", "user", "v1", "I", 0)])), batch_id=0)
+    table.merge_into(last_writer_wins(_batch(spark, [("b", "user", "v2", "I", 5)])), batch_id=1)
+    table.rollback_to(0)
+    assert table.fsck() == []
+    # out-of-band: rewrite the head's watermark below its predecessor's
+    # WITHOUT the rollback marker
+    head = table.current_snapshot()
+    head["watermarks"] = {"0": 0}
+    head.pop("rollback_of", None)
+    f = os.path.join(path, "_snapshots", f"{head['snapshot_id']:06d}.json")
+    open(f, "w").write(_json.dumps(head))
+    assert {x["issue"] for x in table.fsck()} == {"non_monotonic_watermark"}
