@@ -535,7 +535,19 @@ class ParquetSnapshotTable:
                 snap = json.load(fh)
             name = f[:-5]
             for p in self._snapshot_paths(snap):
-                if not os.path.isdir(p):
+                # resolve by basename under THIS handle's path, exactly
+                # like _live_data_keys: snapshots store the path spelling
+                # used at write time, so checking the stored string from
+                # a different cwd/spelling would report a healthy table
+                # as all-missing
+                q = os.path.normpath(p)
+                base = os.path.basename(q)
+                rel = (
+                    f"{os.path.basename(os.path.dirname(q))}/{base}"
+                    if base.startswith("_bucket=")
+                    else base
+                )
+                if not os.path.isdir(os.path.join(self.path, "data", rel)):
                     findings.append(
                         {"snapshot": name, "issue": "missing_path", "detail": p}
                     )
@@ -2298,15 +2310,37 @@ class IcebergMergeBackend:
           maintained views have advanced past (or been rebuilt after)
           the delete.
 
-        Ids are inlined as escaped SQL literals (compliance requests are
-        human-scale; for huge lists stage a view and anti-join instead).
+        Ids are inlined as escaped SQL literals — backslashes doubled
+        BEFORE quotes (Spark string literals treat ``\\`` as an escape by
+        default, so quote-doubling alone lets ``...\\') OR true --``
+        inject a live predicate into the DELETE) — compliance requests
+        are human-scale; for huge lists stage a view and anti-join
+        instead. An empty id list returns ``("", [])`` — nothing to
+        execute, mirroring ``purge_keys([])``'s skipped no-op.
         """
-        ids = ", ".join("'" + i.replace("'", "''") + "'" for i in sorted(set(conv_ids)))
+        if not conv_ids:
+            return "", []
+
+        def esc(i: str) -> str:
+            return i.replace("\\", "\\\\").replace("'", "''")
+
+        ids = ", ".join(f"'{esc(i)}'" for i in sorted(set(conv_ids)))
         delete_sql = f"DELETE FROM {self.table} WHERE conv_id IN ({ids})"
+        # CALL resolves its procedure namespace in the CURRENT catalog,
+        # so a fully-qualified table name must also qualify the CALLs
+        # (Iceberg's documented form: CALL <catalog>.system.<proc>).
+        parts = self.table.split(".")
+        if len(parts) >= 3:
+            call_ns, proc_table = f"{parts[0]}.system", ".".join(parts[1:])
+        else:
+            call_ns, proc_table = "system", self.table
         followups = [
-            f"CALL system.expire_snapshots(table => '{self.table}', "
-            "retain_last => 1)",
-            f"CALL system.remove_orphan_files(table => '{self.table}')",
+            # older_than => current_timestamp(): without it Iceberg's
+            # 5-day default retention keeps pre-delete snapshots readable
+            # via time travel — the opposite of byte-real forgetting
+            f"CALL {call_ns}.expire_snapshots(table => '{proc_table}', "
+            "older_than => current_timestamp(), retain_last => 1)",
+            f"CALL {call_ns}.remove_orphan_files(table => '{proc_table}')",
         ]
         return delete_sql, followups
 

@@ -514,13 +514,35 @@ def test_purge_sql_spelling():
     """The Iceberg spelling of purge_keys: CoW DELETE over the id list
     plus the maintenance follow-ups that make forgetting byte-real
     (expire history + remove orphans — a DELETE alone leaves pre-delete
-    files reachable via time travel). Quotes in ids are escaped."""
+    files reachable via time travel). Escaping doubles backslashes
+    BEFORE quotes (review finding, verified live: quote-doubling alone
+    lets a conv_id ending in a backslash hide the closing quote and
+    inject a predicate into the DELETE)."""
     b = IcebergMergeBackend("lake.db.transcripts")
     delete_sql, followups = b.build_purge_sql(["conv-2", "conv-1", "o'brien"])
     assert delete_sql == (
         "DELETE FROM lake.db.transcripts "
         "WHERE conv_id IN ('conv-1', 'conv-2', 'o''brien')"
     )
-    assert any("expire_snapshots" in f for f in followups)
-    assert any("remove_orphan_files" in f for f in followups)
-    assert all("lake.db.transcripts" in f for f in followups)
+    # backslash neutralization: the injection shape from the review
+    inj, _ = b.build_purge_sql(["nobody\\') OR true --"])
+    assert inj == (
+        "DELETE FROM lake.db.transcripts "
+        "WHERE conv_id IN ('nobody\\\\'') OR true --')"
+    )
+    # follow-ups: catalog-qualified CALLs (procedures resolve in the
+    # CURRENT catalog), immediate expiry (Iceberg's 5-day default would
+    # keep pre-delete snapshots readable), catalog-relative table arg
+    assert followups[0] == (
+        "CALL lake.system.expire_snapshots(table => 'db.transcripts', "
+        "older_than => current_timestamp(), retain_last => 1)"
+    )
+    assert followups[1] == (
+        "CALL lake.system.remove_orphan_files(table => 'db.transcripts')"
+    )
+    # two-part identifier: unqualified CALL namespace
+    b2 = IcebergMergeBackend("db.t")
+    _, f2 = b2.build_purge_sql(["x"])
+    assert f2[0].startswith("CALL system.expire_snapshots(table => 'db.t'")
+    # empty id list mirrors purge_keys([])'s skipped no-op
+    assert b.build_purge_sql([]) == ("", [])

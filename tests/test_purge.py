@@ -267,6 +267,9 @@ def test_purge_cow_is_single_scan_single_job(spark, tmp_path):
     table = _table(spark, str(tmp_path / "t"))
 
     def njobs():
+        # the AppStatusStore is fed by the async listener bus — drain it
+        # before sampling or the count lags actual job starts (flaky)
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
         return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
 
     j0 = njobs()
