@@ -198,6 +198,7 @@ _PER_COMMIT_KEYS = (
     "purge",
     "compaction",
     "rollback_of",
+    "rebucket",
     "committed_at_ms",
 )
 
@@ -1802,6 +1803,84 @@ class ParquetSnapshotTable:
         if purge_history:
             out["expired"] = self.expire_snapshots(keep_last=1)
         return out
+
+    def rebucket(self, n_new: int) -> CommitResult:
+        """Bucket-count evolution — the Iceberg partition-spec-evolution
+        analogue (``ALTER TABLE ... REPLACE PARTITION FIELD bucket(n_old,
+        conv_id) WITH bucket(n_new, conv_id)``): rewrite the table into
+        ``n_new`` hash buckets in ONE commit. Every bucketed table
+        eventually needs this: ``n_buckets`` is sized for the data at
+        creation, and a table that grows 10× turns few-GB buckets into
+        tens-of-GB buckets, degrading the O(touched buckets) commit and
+        point-read stories.
+
+        O(table) once — one shuffle + rewrite, the cost of a single CoW
+        commit — after which every commit is O(touched buckets) at the
+        new granularity. Layout-only: fence, watermarks, schema, rows
+        (including tombstones) all carry unchanged; the old bucket dirs
+        become dead weight reclaimed by :meth:`expire_snapshots`.
+
+        Readers of OLDER snapshots keep working — every snapshot pins
+        its own ``n_buckets``, and ``read_key`` / the merge path always
+        take ``n`` from the snapshot they operate on. A handle
+        constructed with an explicit ``n_buckets`` equal to the old
+        count refuses its next merge (the documented conflicting-reopen
+        guard); reopen without the argument.
+
+        ``changes_between`` across the rebucket commit sees every bucket
+        index differ, so that one interval costs a full row-level diff —
+        which correctly yields an EMPTY changelog (no row changed), and
+        maintained views advance as no-ops.
+        """
+        t0 = time.monotonic()
+        snap = self.current_snapshot()
+        if snap is None or "bucket_paths" not in snap:
+            raise ValueError("rebucket requires a bucketed table with a snapshot")
+        n_new = int(n_new)
+        if n_new < 1:
+            raise ValueError("n_new must be >= 1")
+        n_old = int(snap["n_buckets"])
+        if n_new == n_old:
+            return CommitResult(skipped=True)
+        snap_id = snap["snapshot_id"] + 1
+        data_path = os.path.join(self.path, "data", f"snap-{snap_id:06d}")
+        stored = _with_system_columns(self._schema_of(snap))
+        bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_new)).cast("int")
+        src = self.spark.read.schema(stored).parquet(
+            *[p for _, p in sorted(snap["bucket_paths"].items())]
+        )
+        (
+            src.withColumn("_bucket", bucket_of)
+            .repartition(n_new, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", *KEY_COLUMNS)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(data_path)
+        )
+        manifest = {
+            str(b): os.path.join(data_path, f"_bucket={b}")
+            for b in range(n_new)
+            if os.path.isdir(os.path.join(data_path, f"_bucket={b}"))
+        }
+        new_snap = _carry_snapshot(snap)
+        new_snap.update(
+            snapshot_id=snap_id,
+            bucket_paths=manifest,
+            n_buckets=n_new,
+            lineage=[],
+            rows_applied=0,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            rebucket={"from": n_old, "to": n_new},
+        )
+        self._commit(snap_id, new_snap)
+        if self._n_buckets is not None:
+            # the handle that PERFORMED the evolution follows it; other
+            # handles still pinned to the old count keep refusing (the
+            # conflicting-reopen guard)
+            self._n_buckets = n_new
+        return CommitResult(
+            skipped=False, snapshot_id=snap_id, wall_ms=new_snap["wall_ms"]
+        )
 
     def rollback_to(self, snapshot_id: int) -> CommitResult:
         """Roll the table back to an earlier snapshot's state by

@@ -389,3 +389,65 @@ def test_conversion_rejects_stored_null_conv_id(spark, tmp_path):
         )
     # aborted mid-write: no new snapshot published, cow table intact
     assert ParquetSnapshotTable(spark, path).current_snapshot()["snapshot_id"] == snap_before
+
+
+def test_rebucket_evolves_bucket_count(spark, tmp_path):
+    """Bucket-count evolution: one O(table) commit moves every row to
+    its n_new bucket; rows (incl. tombstones), fence, schema carry
+    unchanged; later merges and point reads work at the new granularity;
+    readers of the OLD snapshot keep its bucketing; the changelog across
+    the rebucket is empty (layout-only); a handle pinned to the old
+    count refuses its next merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_plugins_spark.lake import ParquetSnapshotTable
+    from kafka_plugins_spark.operators.resolve import last_writer_wins
+    from tests.test_lake import _batch
+
+    path = str(tmp_path / "t")
+    table = ParquetSnapshotTable(spark, path, mode="bucketed", n_buckets=4)
+    table.merge_into(
+        last_writer_wins(
+            _batch(spark, [(f"c{i}", "user", f"t{i}", "I", i) for i in range(40)]
+                   + [("dead", None, None, "D", 99)])
+        ),
+        batch_id=0,
+    )
+    before_rows = {(r["conv_id"], r["text"]) for r in table.read().collect()}
+    wm = table.watermarks()
+    old_id = table.current_snapshot()["snapshot_id"]
+
+    assert table.rebucket(4).skipped  # same count: no-op
+    res = table.rebucket(16)
+    assert not res.skipped
+    snap = table.current_snapshot()
+    assert snap["n_buckets"] == 16 and snap["rebucket"] == {"from": 4, "to": 16}
+    assert len(snap["bucket_paths"]) > 4  # keys actually spread out
+    # rows, tombstones, fence all carried
+    assert {(r["conv_id"], r["text"]) for r in table.read().collect()} == before_rows
+    assert table._read_full().filter(F.col("_op") == "D").count() == 1
+    assert table.watermarks() == wm
+    # layout-only: the changelog across the rebucket is empty
+    assert table.changes_between(old_id, snap["snapshot_id"]).count() == 0
+    # old snapshot still reads under ITS bucketing; point reads use new
+    assert table.read(old_id).count() == len(before_rows)
+    assert table.read_key("c7").collect()[0]["text"] == "t7"
+    # subsequent merge works at the new granularity and touches few buckets
+    r2 = table.merge_into(
+        last_writer_wins(_batch(spark, [("c7", "user", "t7b", "U", 100)])),
+        batch_id=1,
+    )
+    assert not r2.skipped
+    assert table.read_key("c7").collect()[0]["text"] == "t7b"
+    # a handle pinned to the old count refuses (documented reopen guard)
+    stale = ParquetSnapshotTable(spark, path, mode="bucketed", n_buckets=4)
+    with pytest.raises(ValueError, match="cannot reopen"):
+        stale.merge_into(
+            last_writer_wins(_batch(spark, [("x", "user", "x", "I", 200)])),
+            batch_id=2,
+        )
+    # old dirs are dead weight expire reclaims; table still reads
+    table.expire_snapshots(keep_last=1)
+    assert {(r["conv_id"], r["text"]) for r in table.read().collect()} == \
+        (before_rows - {("c7", "t7")}) | {("c7", "t7b")}
