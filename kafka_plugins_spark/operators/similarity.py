@@ -42,12 +42,69 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(_sq_norm(a)) * F.sqrt(_sq_norm(b)))
 
 
-def _norm_col(vec_col: str) -> Column:
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    """:func:`dot` for a KNOWN dimensionality over two NAMED array
+    columns, unrolled into a flat GetArrayItem/Multiply/Add chain.
+
+    Bit-identical to :func:`dot`: the addition sequence is the same left
+    fold ``((0.0 + a0·b0) + a1·b1) + …`` and each product the same
+    ``cast(ai as double) * cast(bi as double)`` — but the unrolled tree
+    contains no higher-order function, so it whole-stage-codegens instead
+    of falling back to interpreted per-row eval (``zip_with``/
+    ``aggregate`` are CodegenFallback expressions; on the IVF near-dup
+    verify the interpreted fold dominated the whole operator at sf1
+    scale). Built as ONE parsed SQL expression — constructing the ~450
+    operator nodes through py4j calls costs seconds per plan, the parse
+    costs microseconds; the resulting tree is identical. Requires
+    ``len(a) == len(b) == dim`` — a shorter array yields NULL here where
+    the fold would yield a partial sum. NOTE: the generated method of a
+    stage containing this chain exceeds HotSpot's 8000-bytecode JIT cap;
+    sessions must run with ``-XX:-DontCompileHugeMethods`` (set in
+    session.get_spark) or the stage executes in the bytecode interpreter.
+    """
+    terms = " + ".join(
+        f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return F.expr(f"0.0D + {terms}")
+
+
+def _dot_lit(a: str, vals: list[float]) -> Column:
+    """``dot(named column, literal vector)`` unrolled like
+    :func:`dot_fixed` (same fold order; the literal side is already
+    double, as after Catalyst's constant folding of the old zip_with
+    form). Double literals are emitted with ``repr`` (shortest
+    round-tripping form) and parsed by Java's Double.parseDouble — an
+    exact round trip."""
+    terms = " + ".join(
+        f"CAST(`{a}`[{i}] AS DOUBLE) * {float(v)!r}D" for i, v in enumerate(vals)
+    )
+    return F.expr(f"0.0D + {terms}")
+
+
+def _sq_norm_fixed(v: str, dim: int) -> Column:
+    """Unrolled ``Σ vᵢ²`` over a NAMED array column — bit-identical to
+    :func:`_sq_norm` (same left fold, same per-element cast·cast square)."""
+    terms = " + ".join(
+        f"CAST(`{v}`[{i}] AS DOUBLE) * CAST(`{v}`[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return F.expr(f"0.0D + {terms}")
+
+
+def _norm_col(vec_col: str, dim: int | None = None) -> Column:
     """‖v‖ as a column — computed ONCE per row before a candidate join,
     so scoring inside the join is dot/(na·nb) instead of re-folding both
     norms per PAIR (measured 1.55× on the IVF near-dup at sf0.1; values
-    are bit-identical — same fold, same division)."""
+    are bit-identical — same fold, same division). With ``dim`` the fold
+    is unrolled (codegen, see :func:`dot_fixed`); values unchanged."""
+    if dim is not None:
+        return F.sqrt(_sq_norm_fixed(vec_col, dim))
     return F.sqrt(_sq_norm(F.col(vec_col)))
+
+
+def _pair_dot(a: str, b: str, dim: int | None) -> Column:
+    """The per-pair dot over named columns: unrolled when the
+    dimensionality is known."""
+    return dot_fixed(a, b, dim) if dim is not None else dot(F.col(a), F.col(b))
 
 
 def brute_force_topk(
@@ -56,6 +113,7 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of every candidate for query ids < n_queries.
 
@@ -63,12 +121,14 @@ def brute_force_topk(
     the candidate scan parallelizes perfectly; per-query top-k is a
     window over ≤|candidates| rows. At cluster scale replace the window
     with a per-partition partial top-k + final top-k if |Q| is large.
+    Pass ``dim`` when known: the per-pair dot unrolls into codegen
+    (bit-identical values, see :func:`dot_fixed`).
     """
     q = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), _norm_col(vec_col).alias("_qn")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), _norm_col(vec_col, dim).alias("_qn")
     )
     c = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm_col(vec_col).alias("_cn")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), _norm_col(vec_col, dim).alias("_cn")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -99,8 +159,7 @@ def lsh_bucket_expr(vec_col: str, dim: int, planes: int = 8) -> Column:
     """Sign-random-projection bucket id in [0, 2^planes)."""
     bucket = F.lit(0)
     for p in range(planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
-        bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(0)
+        bit = F.when(_dot_lit(vec_col, _hyperplane(p, dim)) > 0, F.lit(1 << p)).otherwise(0)
         bucket = bucket + bit
     return bucket.cast("int")
 
@@ -126,7 +185,7 @@ def ann_lsh_topk(
     q = bucketed.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm_col(vec_col).alias("_qn"),
+        _norm_col(vec_col, dim).alias("_qn"),
         "_bucket",
     )
     if multiprobe:
@@ -137,7 +196,7 @@ def ann_lsh_topk(
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm_col(vec_col).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
         "_bucket",
     )
     scored = (
@@ -232,7 +291,7 @@ def ivf_cell_ranking(vec_col: str, centroids: list[list[float]]) -> Column:
     scored = F.array(
         *[
             F.struct(
-                dot(F.col(vec_col), F.array(*[F.lit(x) for x in cent])).alias("d"),
+                _dot_lit(vec_col, cent).alias("d"),
                 F.lit(-cid).alias("nc"),
             )
             for cid, cent in enumerate(centroids)
@@ -270,14 +329,14 @@ def ann_ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            _norm_col(vec_col).alias("_qn"),
+            _norm_col(vec_col, dim).alias("_qn"),
             F.explode("_probes").alias("_cell"),
         )
     )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        _norm_col(vec_col).alias("_cn"),
+        _norm_col(vec_col, dim).alias("_cn"),
         "_cell",
     )
     scored = (
@@ -297,22 +356,28 @@ def ann_ivf_topk(
 
 
 def _verify_cosine(
-    cands: DataFrame, emb: DataFrame, threshold: float, vec_col: str, id_col: str
+    cands: DataFrame,
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact rounded-cosine verification of candidate (id_a, id_b) pairs.
-    Norms ride the per-vector side of the join (see :func:`_norm_col`)."""
+    Norms ride the per-vector side of the join (see :func:`_norm_col`);
+    with ``dim`` the per-pair dot unrolls into codegen (bit-identical)."""
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm_col(vec_col).alias("_na")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm_col(vec_col, dim).alias("_na")
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), _norm_col(vec_col).alias("_nb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), _norm_col(vec_col, dim).alias("_nb")
     )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "score",
-            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4),
+            F.round(_pair_dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")), 4),
         )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
@@ -355,14 +420,13 @@ def _grid_cells(vec_col: str, dim: int, threshold: float, k: int) -> list[Column
     cos = t−5e-5) and projection FP error can't break the bound.
     """
     d = (2.0 * (1.0 - (threshold - 1e-3))) ** 0.5
-    nrm = F.sqrt(_sq_norm(F.col(vec_col)))
+    nrm = F.sqrt(_sq_norm_fixed(vec_col, dim))
     cells = []
     for j in range(k):
         u = _hyperplane(1000 + j, dim)
         u_norm = sum(x * x for x in u) ** 0.5
         w = 1.02 * u_norm * d
-        plane = F.array(*[F.lit(x) for x in u])
-        proj = dot(F.col(vec_col), plane) / nrm  # projection of the UNIT vector
+        proj = _dot_lit(vec_col, u) / nrm  # projection of the UNIT vector
         cells.append(F.floor(proj / F.lit(w)).cast("long").alias(f"_cell{j}"))
     return cells
 
@@ -459,7 +523,7 @@ def embedding_neardup_pairs(
     cands = neardup_grid_candidates(emb, threshold, dim, k, vec_col=vec_col, id_col=id_col)
     if candidate_obs is not None:
         cands = cands.observe(candidate_obs, F.count(F.lit(1)).alias("n_candidates"))
-    return _verify_cosine(cands, emb, threshold, vec_col, id_col)
+    return _verify_cosine(cands, emb, threshold, vec_col, id_col, dim=dim)
 
 
 def embedding_neardup_pairs_ivf(
@@ -490,30 +554,137 @@ def embedding_neardup_pairs_ivf(
     (pass ``centroids`` from :func:`train_ivf_centroids`).
 
     ``candidate_obs``: optional ``pyspark.sql.Observation`` recording
-    ``n_candidates`` (the verify-join's input size) on the run itself —
+    ``n_candidates`` — the number of DISTINCT pairs the blocking admits,
     the cost driver of this operator: a trained codebook balances cells,
     and balanced cells can admit MORE pairs than lopsided ones at the
     same nprobe, trading verify cost for recall. Observe it to attribute
-    wall-time shifts to candidate volume vs host weather.
+    wall-time shifts to candidate volume vs host weather. The observed
+    variant streams every co-occurrence once (counting each admitted
+    pair exactly once via a canonical-direction rule — no O(candidates)
+    distinct exchange) and re-derives the result rows by joining the
+    candidate stream against the hot path's verified output. Both paths
+    return the identical rows.
     """
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     ranking = ivf_cell_ranking(vec_col, cents)
-    home = emb.select(F.col(id_col).alias("id_b"), ranking.getItem(0).alias("_cell"))
-    probes = emb.select(
-        F.col(id_col).alias("id_a"), F.explode(F.slice(ranking, 1, nprobe)).alias("_cell")
-    )
-    cands = (
-        probes.join(home, "_cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+    if candidate_obs is not None:
+        # Capacity-accounting path. A pair can arrive by ≤2 directions
+        # (a probes b's home cell / b probes a's home cell); instead of
+        # a distinct over O(n²/cells) rows, keep one CANONICAL row per
+        # admitted pair: drop direction (a→b) iff the reverse direction
+        # also exists (home(a) ∈ probes(b)) and id_a > id_b. The count
+        # of surviving rows is exactly |distinct candidates|; the result
+        # rows come from an inner join against the hot path's verified
+        # output (every verified pair is a candidate by construction),
+        # so the returned rows are identical to the unobserved path.
+        home = emb.select(
+            F.col(id_col).alias("id_b"),
+            ranking.getItem(0).alias("_cell"),
+            F.slice(ranking, 1, nprobe).alias("_probes_b"),
         )
+        probes = emb.select(
+            F.col(id_col).alias("id_a"),
+            ranking.getItem(0).alias("_home_a"),
+            F.explode(F.slice(ranking, 1, nprobe)).alias("_cell"),
+        )
+        cands = (
+            probes.join(home, "_cell")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                | ~F.array_contains(F.col("_probes_b"), F.col("_home_a"))
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        cands = cands.observe(candidate_obs, F.count(F.lit(1)).alias("n_candidates"))
+        verified = embedding_neardup_pairs_ivf(
+            emb, threshold, dim, n_cells, nprobe, vec_col, id_col, centroids=cents
+        )
+        return cands.join(F.broadcast(verified), ["id_a", "id_b"]).select(
+            "id_a", "id_b", "score"
+        )
+
+    # Hot path (guide §4.2 shape: Spark distributes, a vectorized native
+    # library does the per-batch math). The O(n²/cells) co-occurrence set
+    # is never materialized as rows at all: probes and homes are cogrouped
+    # by their Spark-computed (cell, salt) key and each group is scored as
+    # ONE numpy/BLAS matrix product over unit vectors, emitting only the
+    # pairs above a CONSERVATIVE prefilter threshold. Every semantic
+    # decision stays in Spark expressions:
+    #   - cell assignment / probe sets come from the same ivf_cell_ranking
+    #     expression as before (bit-exact), evaluated BEFORE the shuffle —
+    #     the cogroup key IS the blocking, so membership is structural;
+    #   - the prefilter threshold is threshold − 5e-5 − 1e-9: 5e-5 covers
+    #     the round(·,4) boundary (round(x,4) ≥ t admits x ≥ t−5e-5) and
+    #     1e-9 dwarfs the ~1e-13 worst-case BLAS-reassociation +
+    #     unitization FP difference vs the exact fold → NO false
+    #     negatives; false positives are killed by the exact verify;
+    #   - survivors (the near-pairs only, a vanishing fraction) get the
+    #     exact rounded-cosine score from _verify_cosine — the identical
+    #     expressions as the legacy path, so results are bit-identical.
+    # The salt splits each cell's probe side so one hot cell cannot pin
+    # the stage to one task; the home side is replicated per salt (cells
+    # are small relative to the pair count this avoids).
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    n_salts = max(4, (2 * spark.sparkContext.defaultParallelism) // max(n_cells, 1))
+    prefilter_thr = threshold - 5e-5 - 1e-9
+
+    clean = emb.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    probes = clean.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.slice(ranking, 1, nprobe)).alias("_cell"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int").alias("_salt"),
+    )
+    homes = clean.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        ranking.getItem(0).alias("_cell"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("_salt"),
+    )
+
+    def _score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        pa_ids = left["_id"].to_numpy(dtype=np.int64)
+        hb_ids = right["_id"].to_numpy(dtype=np.int64)
+        P = np.stack(left["_v"].to_numpy()).astype(np.float64)
+        H = np.stack(right["_v"].to_numpy()).astype(np.float64)
+        pn = np.sqrt((P * P).sum(axis=1))
+        hn = np.sqrt((H * H).sum(axis=1))
+        np.divide(P, pn[:, None], out=P, where=pn[:, None] > 0)
+        np.divide(H, hn[:, None], out=H, where=hn[:, None] > 0)
+        outs_a, outs_b = [], []
+        # slab the matmul so one giant cell cannot blow task memory
+        slab = max(1, int(64 * 1024 * 1024 // (8 * max(len(left), 1))))
+        for lo in range(0, len(right), slab):
+            G = P @ H[lo : lo + slab].T
+            ii, jj = np.nonzero(G >= prefilter_thr)
+            if len(ii):
+                ga, gb = pa_ids[ii], hb_ids[lo + jj]
+                m = ga != gb
+                outs_a.append(np.minimum(ga[m], gb[m]))
+                outs_b.append(np.maximum(ga[m], gb[m]))
+        if not outs_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
+
+    cands = (
+        probes.groupBy("_cell", "_salt")
+        .cogroup(homes.groupBy("_cell", "_salt"))
+        .applyInPandas(_score_group, "id_a long, id_b long")
         .distinct()
     )
-    if candidate_obs is not None:
-        cands = cands.observe(candidate_obs, F.count(F.lit(1)).alias("n_candidates"))
-    return _verify_cosine(cands, emb, threshold, vec_col, id_col)
+    return _verify_cosine(cands, emb, threshold, vec_col, id_col, dim=dim)
 
 
 def knn_label_vote(
@@ -523,10 +694,13 @@ def knn_label_vote(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Predict each query's label by majority vote of its top-k neighbors
     (tie → smallest label)."""
-    topk = brute_force_topk(emb, n_queries=n_queries, k=k, vec_col=vec_col, id_col=id_col)
+    topk = brute_force_topk(
+        emb, n_queries=n_queries, k=k, vec_col=vec_col, id_col=id_col, dim=dim
+    )
     labeled = topk.join(
         emb.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")),
         "neighbor_id",
