@@ -2140,6 +2140,13 @@ DEDUP_ORACLES["dedup_clusters"] = f"""
 # =========================================================================
 
 def q_ann_topk(spark, sf):
+    # NOTE r7: unrolling the scoring dot/norms (dim=64 → dot_fixed) was
+    # MEASURED 2.5-4× SLOWER here and in the LSH/IVF top-k scoring joins
+    # (sf1sim best-of-2: 0.69s fold vs 2.1s unrolled) — the opposite of
+    # the IVF near-dup verify, where the unroll wins. The top-k scoring
+    # rows flow through BroadcastNestedLoopJoin / window stages where the
+    # ~260-node unrolled tree evaluates interpreted per pair, while the
+    # zip_with/aggregate fold is one tight interpreted loop. Keep the fold.
     return sim.brute_force_topk(_t(spark, sf, "embeddings"), n_queries=20, k=5)
 
 
@@ -2268,6 +2275,7 @@ def _emb_neardup_ivf_oracle_sql(
 
 
 def q_knn_label_vote(spark, sf):
+    # fold scoring on purpose — see the measurement note on q_ann_topk
     return sim.knn_label_vote(_t(spark, sf, "embeddings"), n_queries=20, k=5)
 
 

@@ -349,13 +349,73 @@ def _bucket_of(spark: SparkSession, conv_id: str, n_buckets: int) -> int:
     got = _BUCKET_CACHE.get(key)
     if got is None:
         if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
-            _BUCKET_CACHE.clear()
+            # evict ONE entry (FIFO — dict preserves insertion order), not
+            # the whole cache: a wholesale clear() made the 65537th
+            # distinct key drop 65536 warm entries (r6 verdict finding)
+            _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
         got = spark.sql(
             "SELECT CAST(pmod(xxhash64(k), :n) AS INT) AS b FROM VALUES (:k) AS t(k)",
             args={"k": conv_id, "n": n_buckets},
         ).collect()[0][0]
         _BUCKET_CACHE[key] = got
     return got
+
+
+def _buckets_of(spark: SparkSession, conv_ids: list[str], n_buckets: int) -> dict[str, int]:
+    """Batch :func:`_bucket_of`: every uncached id is evaluated in ONE
+    job-free LocalRelation query (multi-row ``VALUES`` folds the same way
+    the one-row form does), so mapping a purge request's id list costs one
+    driver-side collect regardless of list length."""
+    out: dict[str, int] = {}
+    misses: list[str] = []
+    for cid in conv_ids:
+        got = _BUCKET_CACHE.get((cid, n_buckets))
+        if got is None:
+            misses.append(cid)
+        else:
+            out[cid] = got
+    if misses:
+        values = ", ".join(f"(:k{i})" for i in range(len(misses)))
+        args = {f"k{i}": cid for i, cid in enumerate(misses)}
+        args["n"] = n_buckets
+        rows = spark.sql(
+            "SELECT k, CAST(pmod(xxhash64(k), :n) AS INT) AS b "
+            f"FROM VALUES {values} AS t(k)",
+            args=args,
+        ).collect()
+        for r in rows:
+            out[r["k"]] = int(r["b"])
+            if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
+                _BUCKET_CACHE.pop(next(iter(_BUCKET_CACHE)))
+            _BUCKET_CACHE[(r["k"], n_buckets)] = int(r["b"])
+    return out
+
+
+def _batch_in_order(
+    ranges: dict[int, tuple[int, int]],
+    delivered: dict[int, list[tuple[int, int]]],
+) -> bool:
+    """True iff every SURVIVING (fence-filtered) batch row is strictly
+    newer than any stored row of its partition — the precondition of the
+    anti-join fast path (drop changed keys, append winners; no LWW
+    re-resolve). A key's events live in one partition, so per-partition
+    offset comparison is the right granularity.
+
+    The batch start is first clipped past any delivered prefix
+    (``_clip_start``): rows inside delivered intervals are dropped by the
+    fence before the merge, so a batch whose RAW start overlaps the
+    delivered prefix — a bootstrap tail replaying the whole log, any
+    at-least-once re-delivery — is still in order as long as what
+    *survives* begins at or past the last delivered end. The unclipped
+    test sent exactly those batches down the full union + LWW re-resolve
+    (one extra corpus-wide shuffle + aggregate); results are identical on
+    either path when this predicate holds (surviving winners strictly
+    out-offset every stored row of their partition)."""
+    return all(
+        not delivered.get(p)
+        or _clip_start(lo, delivered[p]) >= delivered[p][-1][1]
+        for p, (lo, _) in ranges.items()
+    )
 
 
 def compute_ranges(events: DataFrame) -> dict[int, tuple[int, int]]:
@@ -935,10 +995,7 @@ class ParquetSnapshotTable:
                 # out-of-order case with no special path.
                 merged = batch_rows
             else:
-                in_order = all(
-                    not delivered.get(p) or lo >= delivered[p][-1][1]
-                    for p, (lo, _) in ranges.items()
-                )
+                in_order = _batch_in_order(ranges, delivered)
                 table_full = self._read_full()
                 if in_order:
                     # fast path (the Kafka case): every batch winner is
@@ -1302,7 +1359,30 @@ class ParquetSnapshotTable:
             n = self._n_buckets or DEFAULT_N_BUCKETS
         fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            per_part = _fresh_partition_stats(fresh)
+            bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
+            # ONE aggregate job carries the per-partition lineage stats
+            # AND the touched-bucket set AND the NULL-key contract check
+            # (collect_set drops NULLs, so a NULL conv_id is encoded as
+            # sentinel -1) — previously two scheduled jobs per commit
+            # (stats, then a distinct+collect over the bucket ids); both
+            # read the persisted winners, so fusing them saves a full
+            # job round-trip on every bucketed commit.
+            stat_rows = (
+                fresh.groupBy("partition")
+                .agg(
+                    F.min("offset").alias("lo"),
+                    F.max("offset").alias("hi"),
+                    F.count("*").alias("n"),
+                    F.collect_set(
+                        F.when(F.col("conv_id").isNull(), F.lit(-1)).otherwise(bucket_of)
+                    ).alias("bs"),
+                )
+                .collect()
+            )
+            per_part = {
+                int(r["partition"]): (int(r["lo"]), int(r["hi"]) + 1, int(r["n"]))
+                for r in stat_rows
+            }
             if not per_part:
                 return CommitResult(skipped=True, wall_ms=int((time.monotonic() - t0) * 1000))
             per_part = self._clip_ranges(per_part, ranges, delivered)
@@ -1312,7 +1392,6 @@ class ParquetSnapshotTable:
             )
             new_schema = merge_schemas(self._schema_of(snap_before), incoming_payload)
             stored_schema = _with_system_columns(new_schema)
-            bucket_of = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n)).cast("int")
             # the WRITE-side guard: covers rows the batch check below never
             # sees — stored NULL-key rows folded in by a cow/mor→bucketed
             # conversion (review finding). Zero extra scans: the error
@@ -1339,27 +1418,21 @@ class ParquetSnapshotTable:
                     {"op": "_op", "partition": "_partition", "offset": "_offset"}
                 )
             )
-            # O(n_buckets) driver rows — the manifest diff that makes the
-            # rewrite partial. The same pass validates the key contract:
-            # xxhash64(NULL) returns the SEED (42), not NULL, so a NULL
-            # conv_id would otherwise be SILENTLY stored under bucket
-            # pmod(42, n) — unreachable by read_key, unjoinable by later
-            # merges (r5 advice asked for a loud contract error here).
-            touched_rows = (
-                batch_rows.select(
-                    bucket_of.alias("_b"), F.col("conv_id").isNull().alias("_null")
-                )
-                .distinct()
-                .collect()
-            )
-            if any(r["_null"] for r in touched_rows):
+            # Touched-bucket set + NULL-key contract check, both computed
+            # by the fused stats aggregate above: xxhash64(NULL) returns
+            # the SEED (42), not NULL, so a NULL conv_id would otherwise
+            # be SILENTLY stored under bucket pmod(42, n) — unreachable
+            # by read_key, unjoinable by later merges (r5 advice asked
+            # for a loud contract error here).
+            batch_buckets = {int(b) for r in stat_rows for b in r["bs"]}
+            if -1 in batch_buckets:
                 raise ValueError(
                     "bucketed merge requires a non-null conv_id on every row "
                     "(xxhash64(NULL) degenerates to the seed, silently "
                     "misfiling the row); fix the producer or route null-key "
                     "rows to a DLQ before merge_into"
                 )
-            touched = sorted({int(r["_b"]) for r in touched_rows})
+            touched = sorted(batch_buckets)
             # Reopening a cow/mor table as bucketed is a one-time FULL
             # conversion: every stored row folds into buckets (otherwise
             # the new manifest would reference only the batch's buckets
@@ -1390,10 +1463,7 @@ class ParquetSnapshotTable:
             else:
                 prior = None
             if prior is not None:
-                in_order = bool(ranges) and all(
-                    not delivered.get(p) or lo >= delivered[p][-1][1]
-                    for p, (lo, _) in ranges.items()
-                )
+                in_order = bool(ranges) and _batch_in_order(ranges, delivered)
                 if in_order:
                     merged = prior.join(
                         batch_rows.select(*KEY_COLUMNS), KEY_COLUMNS, "left_anti"
@@ -1729,17 +1799,13 @@ class ParquetSnapshotTable:
         if "bucket_paths" in snap:
             n = int(snap["n_buckets"])
             manifest = dict(snap["bucket_paths"])
-            # one tiny job maps the id list to bucket ids (JVM xxhash64 —
-            # same no-Python-reimplementation rule as read_key)
-            id_df = self.spark.createDataFrame([(i,) for i in ids], "conv_id string")
-            hit = {
-                r["b"]
-                for r in id_df.select(
-                    F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("int").alias("b")
-                )
-                .distinct()
-                .collect()
-            }
+            # id list → bucket ids through the memoized job-free
+            # LocalRelation path (one multi-row VALUES query for every
+            # uncached id — the same JVM xxhash64 expression the writer
+            # uses, ZERO scheduled jobs; r6 verdict item 6: a
+            # createDataFrame job per purge was noise). The only job a
+            # purge schedules is the rewrite itself.
+            hit = set(_buckets_of(self.spark, ids, n).values())
             todo = sorted(b for b in hit if str(b) in manifest)
             if not todo:
                 return {"skipped": True, "rows_purged": 0}

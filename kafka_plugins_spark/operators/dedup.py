@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from kafka_plugins_spark.operators.text import tokens
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an intermediate that downstream joins consume
+    several times (shingle tables, pair graphs). Without it Catalyst
+    inlines the subplan at every reference and the scan + tokenize +
+    explode + distinct pipeline runs once PER REFERENCE — the minhash
+    verify plan re-shingled the corpus six times (measured r7, plan in
+    plans/r07/dedup_minhash_lsh_before.txt). ``localCheckpoint`` stores
+    the computed partitions in the block manager (MEMORY_AND_DISK) and
+    cuts the lineage, so every consumer reads the materialized rows. At
+    cluster scale the same role is played by persisting the shingle
+    table to scratch storage — the structural point (compute the
+    corpus-scale intermediate once, not once per join arm) is
+    identical. Recomputed from the parquet inputs on every invocation —
+    nothing is memoized across runs."""
+    return df.localCheckpoint(eager=True)
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group rows by exact text hash; canonical id = min id per group."""
     return (
@@ -140,7 +157,9 @@ def ngram_jaccard_pairs(
     of surviving pairs use the FULL shingle sets, so reported Jaccard is
     exact. Set ``None`` to disable (exact-but-quadratic).
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # one shingle pass, many consumers (freq cap, candidate self-join,
+    # intersection expand, sizes) — see _materialize
+    sh = _materialize(word_shingles(docs, n=n, text_col=text_col, id_col=id_col))
     return (
         _pair_jaccard(sh, max_shingle_freq=max_shingle_freq)
         .filter(F.col("jaccard") >= threshold)
@@ -202,8 +221,13 @@ def minhash_lsh_pairs(
     The scale path: signature groupBy + bucket equi-join touch O(docs)
     rows; only verified candidates pay the shingle-intersection join.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    # one shingle pass — the before-plan scanned + re-shingled the corpus
+    # SIX times (signature path ×2 through the banded self-join, verify
+    # join arms ×2, sizes ×2); signatures are additionally materialized
+    # (O(docs) rows) so the banded self-join doesn't run the 8-way md5
+    # min-aggregate twice. See _materialize.
+    sh = _materialize(word_shingles(docs, n=n, text_col=text_col, id_col=id_col))
+    sigs = _materialize(minhash_signatures(sh, num_hashes=num_hashes))
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
     # verify ONLY the candidate pairs (see _verify_pairs) — the all-pairs
     # intersection would defeat the point of LSH
@@ -276,10 +300,17 @@ def dedup_clusters(
     ``max_iters`` non-converged rounds rather than returning partial
     labels (rounds needed ≈ log₂(component diameter) + 2).
     """
-    sym = pairs.select(
-        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
-    ).union(
-        pairs.select(F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst"))
+    # materialize the edge list ONCE: every round's propagation join
+    # references it, and an un-materialized `pairs` (often itself a full
+    # near-dup detection query) would re-run per round — see _materialize
+    sym = _materialize(
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+        ).union(
+            pairs.select(
+                F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst")
+            )
+        )
     )
     labels = docs.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("label")
@@ -352,11 +383,17 @@ def contamination_pairs(
     train×eval shingle intersection. A pair is found iff it shares ≥1
     sub-cap shingle; a real leak shares many.
     """
-    tr = word_shingles(train, n=n, text_col=text_col, id_col=id_col).select(
-        F.col("doc_id").alias("train_doc_id"), "shingle"
+    # both shingle tables feed the candidate join AND the verify expand
+    # (train ×3, eval ×3 references) — see _materialize
+    tr = _materialize(
+        word_shingles(train, n=n, text_col=text_col, id_col=id_col).select(
+            F.col("doc_id").alias("train_doc_id"), "shingle"
+        )
     )
-    ev = word_shingles(evalset, n=n, text_col=text_col, id_col=id_col).select(
-        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    ev = _materialize(
+        word_shingles(evalset, n=n, text_col=text_col, id_col=id_col).select(
+            F.col("doc_id").alias("eval_doc_id"), "shingle"
+        )
     )
     trc = tr
     if max_shingle_freq is not None:
@@ -421,9 +458,11 @@ def cross_doc_dup_fraction(
     )
     # sequence(1, hi) DESCENDS for hi < 1 — short docs gate to []
     gram_arr = F.when(n >= k, gram_arr).otherwise(F.array().cast("array<string>"))
-    gram_rows = step1.select("doc_id", gram_arr.alias("_g")).select(
-        "doc_id", F.explode("_g").alias("gram")
-    )
+    gram_rows = _materialize(
+        step1.select("doc_id", gram_arr.alias("_g")).select(
+            "doc_id", F.explode("_g").alias("gram")
+        )
+    )  # consumed by the per-gram doc count AND the membership join
     shared = gram_rows.groupBy("gram").agg(F.countDistinct("doc_id").alias("_nd"))
     per_doc = (
         gram_rows.join(shared, "gram")
