@@ -31,6 +31,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _max_event_id(spark: SparkSession, sf_dir: str) -> int:
+    """``max(event_id)`` of the events table from parquet FOOTER stats —
+    driver-side metadata, no Spark job (every engine-drive row needs this
+    scalar to plan its chunk boundaries; a same-answer Spark aggregate
+    costs a full scan job per row). Same technique as
+    ``sources.events.partition_end_offsets_from_metadata``; int64 parquet
+    min/max statistics are exact. Falls back to the Spark aggregate when
+    the layout/stats don't support the footer read."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, n)
+                for root, _dirs, names in os.walk(path)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        hi: int | None = None
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            ci = idx["event_id"]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("missing column statistics")
+                hi = int(st.max) if hi is None else max(hi, int(st.max))
+        if hi is None:
+            raise ValueError("no parquet files")
+        return hi
+    except Exception:
+        return int(
+            _t(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0] or 0
+        )
+
+
 # =========================================================================
 # CDC core operators, mapped onto the driver's `events` table:
 #   key = (user_id, event_type) or user_id; offset = event_id;
@@ -125,7 +165,7 @@ def q_cdc_final_state_mor(spark, sf):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    hi = _max_event_id(spark, sf)
     scratch = tempfile.mkdtemp(prefix="mor_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="mor")
     step = hi // 4 + 1
@@ -161,7 +201,7 @@ def q_cdc_final_state_bucketed(spark, sf):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    hi = _max_event_id(spark, sf)
     scratch = tempfile.mkdtemp(prefix="bucketed_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="bucketed", n_buckets=16)
     step = hi // 4 + 1
@@ -209,7 +249,7 @@ def _changelog_query(spark, sf, mode, prefix):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
+    cut = _max_event_id(spark, sf) // 2
     scratch = tempfile.mkdtemp(prefix=prefix)
     table = ParquetSnapshotTable(spark, scratch, mode=mode)
     r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
@@ -247,7 +287,7 @@ def q_cdc_incremental_agg(spark, sf):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    cut = int(ev.agg(F.max("event_id")).collect()[0][0] or 0) // 2
+    cut = _max_event_id(spark, sf) // 2
     scratch = tempfile.mkdtemp(prefix="incagg_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="mor")
     r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
@@ -298,7 +338,7 @@ def q_cdc_incremental_minmax(spark, sf):
             F.countDistinct("conv_id").alias("n_convs"),
         )
 
-    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    hi = _max_event_id(spark, sf)
     step = hi // 3 + 1
     scratch = tempfile.mkdtemp(prefix="incmm_entry_")
     table = ParquetSnapshotTable(spark, os.path.join(scratch, "t"), mode="mor")
@@ -422,7 +462,7 @@ def q_cdc_bootstrap(spark, sf):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    hi = _max_event_id(spark, sf)
     cut = hi // 2
     dump = final_state(ce.filter(F.col("offset") < cut))
     scratch = tempfile.mkdtemp(prefix="boot_entry_")
@@ -451,7 +491,7 @@ def q_cdc_wap(spark, sf):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    hi = _max_event_id(spark, sf)
     cut = hi // 2
     scratch = tempfile.mkdtemp(prefix="wap_entry_")
     table = ParquetSnapshotTable(spark, scratch)
@@ -491,7 +531,7 @@ def q_cdc_purge(spark, sf):
 
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
-    hi = int(ev.agg(F.max("event_id")).collect()[0][0] or 0)
+    hi = _max_event_id(spark, sf)
     purged = [
         str(r["user_id"])
         for r in ev.filter(F.pmod("user_id", F.lit(29)) == 0)

@@ -928,9 +928,33 @@ class ParquetSnapshotTable:
         reflects *every* event inside it.
         """
         t0 = time.monotonic()
+        owned_persist = None
         if ranges is None:
+            # compute_ranges is a full evaluation of the winners pipeline
+            # (scan + LWW shuffle); without a persist the downstream merge
+            # head evaluates the SAME pipeline a second time (measured:
+            # ~2× the resolve cost on every engine-drive commit that
+            # passes no ranges). Persist FIRST so the ranges job doubles
+            # as the cache materialization every later pass reads.
+            # Callers that pass ranges (the replay/streaming paths, which
+            # plan ranges from footer metadata) are unaffected — no
+            # persist is introduced for the big single-pass backfills.
+            winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+            owned_persist = winners
             ranges = compute_ranges(winners)
+        try:
+            return self._merge_into_fenced(winners, batch_id, ranges, t0)
+        finally:
+            if owned_persist is not None:
+                owned_persist.unpersist()
 
+    def _merge_into_fenced(
+        self,
+        winners: DataFrame,
+        batch_id: int,
+        ranges: dict[int, tuple[int, int]],
+        t0: float,
+    ) -> CommitResult:
         delivered = self.delivered_ranges()
         if ranges:
             decision = fence_decision(ranges, delivered)
