@@ -270,3 +270,27 @@ def test_round6_operators_plan_shapes(spark):
     p = plan_of(with_global_offsets(toks, "n_tok", "doc_id", n_buckets=8))
     assert "Exchange SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_minhash_shingles_computed_once(spark):
+    """r7 optimization pin: the minhash pipeline materializes the shingle
+    table and the signature table once (localCheckpoint), so the final
+    plan reads ONLY the materialized intermediates — before the change it
+    scanned + re-tokenized + re-shingled documents.parquet SIX times
+    (signature path x2 through the banded self-join, verify arms x2,
+    sizes x2; plans/r07/dedup_minhash_lsh_before.txt)."""
+    from kafka_plugins_spark.entry_queries import q_dedup_minhash_lsh
+
+    plan = plan_of(q_dedup_minhash_lsh(spark, SF))
+    assert "Scan parquet" not in plan, "a consumer re-derived the shingle pipeline"
+    assert "ExistingRDD" in plan  # every arm reads the materialized rows
+
+
+def test_xdoc_gram_table_computed_once(spark):
+    """Same pin for the cross-doc duplicated-passage operator: the gram
+    table feeds both the per-gram doc count and the membership join; only
+    the final doc_id projection may rescan the parquet."""
+    from kafka_plugins_spark.entry_queries import q_xdoc_dup
+
+    plan = plan_of(q_xdoc_dup(spark, SF))
+    assert plan.count("Scan parquet") <= 1  # the doc_id left-join side only
