@@ -369,14 +369,29 @@ def _buckets_of(spark: SparkSession, conv_ids: list[str], n_buckets: int) -> dic
     out: dict[str, int] = {}
     misses: list[str] = []
     for cid in conv_ids:
+        if not isinstance(cid, str):
+            # the write side hashes the STRING conv_id column; binding a
+            # non-string as a SQL parameter would xxhash64 the other type
+            # and SILENTLY map to the wrong bucket — for purge_keys that
+            # means "rows_purged: 0" while the GDPR target stays on disk
+            # (review finding; the old createDataFrame path raised too)
+            raise TypeError(
+                f"conv_id must be str, got {type(cid).__name__}: {cid!r} "
+                "(bucket hashing is defined over the string key)"
+            )
         got = _BUCKET_CACHE.get((cid, n_buckets))
         if got is None:
             misses.append(cid)
         else:
             out[cid] = got
-    if misses:
-        values = ", ".join(f"(:k{i})" for i in range(len(misses)))
-        args = {f"k{i}": cid for i, cid in enumerate(misses)}
+    # chunk the VALUES relation: compliance lists are human-scale, but a
+    # pathological 100k-id request must not build one 100k-parameter SQL
+    # text (parse cost grows with the statement, and parameter maps have
+    # practical limits) — 1000-row chunks keep each query trivially small
+    for lo in range(0, len(misses), 1000):
+        chunk = misses[lo : lo + 1000]
+        values = ", ".join(f"(:k{i})" for i in range(len(chunk)))
+        args: dict = {f"k{i}": cid for i, cid in enumerate(chunk)}
         args["n"] = n_buckets
         rows = spark.sql(
             "SELECT k, CAST(pmod(xxhash64(k), :n) AS INT) AS b "
@@ -939,8 +954,12 @@ class ParquetSnapshotTable:
             # Callers that pass ranges (the replay/streaming paths, which
             # plan ranges from footer metadata) are unaffected — no
             # persist is introduced for the big single-pass backfills.
-            winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
-            owned_persist = winners
+            # Only claim ownership when the caller has NOT persisted the
+            # frame: unpersisting a caller-owned cache would silently
+            # destroy it (review finding).
+            if winners.storageLevel == StorageLevel.NONE:
+                winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+                owned_persist = winners
             ranges = compute_ranges(winners)
         try:
             return self._merge_into_fenced(winners, batch_id, ranges, t0)

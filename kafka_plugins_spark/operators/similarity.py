@@ -75,6 +75,14 @@ def _dot_lit(a: str, vals: list[float]) -> Column:
     form). Double literals are emitted with ``repr`` (shortest
     round-tripping form) and parsed by Java's Double.parseDouble — an
     exact round trip."""
+    import math
+
+    if not all(math.isfinite(float(v)) for v in vals):
+        # repr() of nan/inf ("nan"/"inf") is not parseable SQL — fail with
+        # a diagnosis instead of a ParseException deep in plan building
+        # (a non-finite centroid means the embeddings feeding the trainer
+        # were already poisoned)
+        raise ValueError("_dot_lit: literal vector contains non-finite values")
     terms = " + ".join(
         f"CAST(`{a}`[{i}] AS DOUBLE) * {float(v)!r}D" for i, v in enumerate(vals)
     )
@@ -552,6 +560,12 @@ def embedding_neardup_pairs_ivf(
     candidate join is a plain equi-join touching each cell's files only,
     and a trained (k-means) codebook replaces the deterministic one
     (pass ``centroids`` from :func:`train_ivf_centroids`).
+
+    Contract (hot path): ``id_col`` must be integral (emitted as long —
+    the declared cogroup schema) and every vector exactly ``dim``
+    elements; violations fail the stage loudly. The pure-expression
+    observed path below shares the integral-id expectation through the
+    same verify join.
 
     ``candidate_obs``: optional ``pyspark.sql.Observation`` recording
     ``n_candidates`` — the number of DISTINCT pairs the blocking admits,

@@ -319,10 +319,21 @@ def bpe_encode(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
     dw = base.select("doc_id", F.explode(F.array_distinct("_toks")).alias("word"))
+    # array_distinct before map_from_entries: _sstr is a pure function of
+    # word, so any duplicate (word, _sstr) entries — e.g. an input with
+    # duplicate doc_id rows — are exact duplicates, and deduping them
+    # keeps map construction total instead of failing with
+    # DUPLICATED_MAP_KEY (review finding). With duplicate doc_id rows the
+    # output carries one row per input row (each over its own token
+    # array); doc ids are unique everywhere this library produces them.
     dmap = (
         dw.join(vocab, "word")
         .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("word", "_sstr"))).alias("_m"))
+        .agg(
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("word", "_sstr")))
+            ).alias("_m")
+        )
     )
     # _s / tokens are materialized in their own projections before being
     # referenced again (the measured whole-stage-codegen CSE trap — see
