@@ -31,6 +31,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch(prefix: str) -> str:
+    """Scratch dir for an engine-drive row's snapshot table: tmpfs when
+    the host has one, the default tmp dir otherwise. This box's /tmp sits
+    on the single virtio disk whose bandwidth already caps multi-core
+    shuffle (see session._local_dir — shuffle moved to tmpfs for the same
+    reason); the frozen bench harness stages its OWN replay tables on
+    /dev/shm (bench.py `bench_table_`/`bench_cdc_` sites), so this only
+    brings the per-query tables under the same policy. Measured r7
+    (sf1sim, alternating A/B in one process, healthy ~50M-md5 window,
+    3 rounds each way): cdc_bootstrap 2.0-2.7 s on /tmp vs 1.5-2.1 s on
+    tmpfs, cdc_final_state_bucketed 3.9-13.4 vs 3.6-5.1 — tmpfs won all
+    six paired rounds. On a cluster this maps to node-local NVMe scratch,
+    exactly like the shuffle dirs. Results are location-independent;
+    nothing is reused across runs (fresh mkdtemp per invocation)."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _max_event_id(spark: SparkSession, sf_dir: str) -> int:
     """``max(event_id)`` of the events table from parquet FOOTER stats —
     driver-side metadata, no Spark job (every engine-drive row needs this
@@ -158,7 +178,6 @@ def q_cdc_final_state_mor(spark, sf):
     recomputes the converged state relationally, so a hash match proves
     the multi-commit engine produced exactly the single-query answer."""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.resolve import last_writer_wins
@@ -166,7 +185,7 @@ def q_cdc_final_state_mor(spark, sf):
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
     hi = _max_event_id(spark, sf)
-    scratch = tempfile.mkdtemp(prefix="mor_entry_")
+    scratch = _scratch("mor_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="mor")
     step = hi // 4 + 1
     for i in range(4):
@@ -194,7 +213,6 @@ def q_cdc_final_state_bucketed(spark, sf):
     partition transform) the 100 TB story rides on: a trickle batch
     rewrites only the buckets it touches."""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.resolve import last_writer_wins
@@ -202,7 +220,7 @@ def q_cdc_final_state_bucketed(spark, sf):
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
     hi = _max_event_id(spark, sf)
-    scratch = tempfile.mkdtemp(prefix="bucketed_entry_")
+    scratch = _scratch("bucketed_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="bucketed", n_buckets=16)
     step = hi // 4 + 1
     for i in range(4):
@@ -242,7 +260,6 @@ def q_cdc_changelog(spark, sf):
 
 def _changelog_query(spark, sf, mode, prefix):
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.resolve import last_writer_wins
@@ -250,7 +267,7 @@ def _changelog_query(spark, sf, mode, prefix):
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
     cut = _max_event_id(spark, sf) // 2
-    scratch = tempfile.mkdtemp(prefix=prefix)
+    scratch = _scratch(prefix)
     table = ParquetSnapshotTable(spark, scratch, mode=mode)
     r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
     r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
@@ -276,7 +293,6 @@ def q_cdc_incremental_agg(spark, sf):
     migrate rows via update pairs. (The reference's consumers re-scan
     the sink and re-aggregate; this is the maintained-state upgrade.)"""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.incremental import (
@@ -288,7 +304,7 @@ def q_cdc_incremental_agg(spark, sf):
     ev = _t(spark, sf, "events")
     ce = _events_ce(ev)
     cut = _max_event_id(spark, sf) // 2
-    scratch = tempfile.mkdtemp(prefix="incagg_entry_")
+    scratch = _scratch("incagg_entry_")
     table = ParquetSnapshotTable(spark, scratch, mode="mor")
     r1 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") < cut)), batch_id=0)
     r2 = table.merge_into(last_writer_wins(ce.filter(F.col("offset") >= cut)), batch_id=1)
@@ -321,7 +337,6 @@ def q_cdc_incremental_minmax(spark, sf):
     the cuts, so a hash match proves bootstrap→advance→advance on disk
     == full recompute."""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.incremental import MaintainedGroupAgg
@@ -340,7 +355,7 @@ def q_cdc_incremental_minmax(spark, sf):
 
     hi = _max_event_id(spark, sf)
     step = hi // 3 + 1
-    scratch = tempfile.mkdtemp(prefix="incmm_entry_")
+    scratch = _scratch("incmm_entry_")
     table = ParquetSnapshotTable(spark, os.path.join(scratch, "t"), mode="mor")
     mv = MaintainedGroupAgg(table, os.path.join(scratch, "mv"), ["role"], agg_fn)
     for i in range(3):
@@ -455,7 +470,6 @@ def q_cdc_bootstrap(spark, sf):
     The oracle converges all events from scratch and never sees the
     cut, so a hash match proves dump + fenced tail == full replay."""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.operators.resolve import final_state, last_writer_wins
     from kafka_plugins_spark.replay import bootstrap
@@ -465,7 +479,7 @@ def q_cdc_bootstrap(spark, sf):
     hi = _max_event_id(spark, sf)
     cut = hi // 2
     dump = final_state(ce.filter(F.col("offset") < cut))
-    scratch = tempfile.mkdtemp(prefix="boot_entry_")
+    scratch = _scratch("boot_entry_")
     table, _ = bootstrap(spark, dump, scratch, {p: cut for p in range(8)})
     table.merge_into(
         last_writer_wins(ce), batch_id=1, ranges={p: (0, hi + 1) for p in range(8)}
@@ -484,7 +498,6 @@ def q_cdc_wap(spark, sf):
     (Iceberg's spark.wap.id flow; the reference has no staged-commit
     notion — its sink writes are immediately visible)."""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.resolve import last_writer_wins
@@ -493,7 +506,7 @@ def q_cdc_wap(spark, sf):
     ce = _events_ce(ev)
     hi = _max_event_id(spark, sf)
     cut = hi // 2
-    scratch = tempfile.mkdtemp(prefix="wap_entry_")
+    scratch = _scratch("wap_entry_")
     table = ParquetSnapshotTable(spark, scratch)
     table.merge_into(
         last_writer_wins(ce.filter(F.col("offset") < cut)),
@@ -524,7 +537,6 @@ def q_cdc_purge(spark, sf):
     changelog emits deletes is pinned byte-level in tests/test_purge.py;
     this row pins the resolved-state semantics against SQL.)"""
     import shutil
-    import tempfile
 
     from kafka_plugins_spark.lake import ParquetSnapshotTable
     from kafka_plugins_spark.operators.resolve import last_writer_wins
@@ -539,7 +551,7 @@ def q_cdc_purge(spark, sf):
         .distinct()
         .collect()
     ]
-    scratch = tempfile.mkdtemp(prefix="purge_entry_")
+    scratch = _scratch("purge_entry_")
     table = ParquetSnapshotTable(spark, scratch)
     table.merge_into(
         last_writer_wins(ce),
